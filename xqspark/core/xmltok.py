@@ -1,0 +1,462 @@
+"""Lenient XML tokenizer with Go encoding/xml semantics.
+
+A from-scratch re-expression of the token stream the reference consumes
+(internal/utils/utils.go:46-48: xml.NewDecoder with Strict=false and a
+charset reader). Byte-identical output of the downstream formatter depends
+on matching Go's tokenizer behavior exactly:
+
+- non-strict mode: unknown/malformed entities are left alone in text and
+  attribute values; mismatched end tags are repaired by inventing the end
+  tag for the open element (popElement's needClose mechanism); attributes
+  may be unquoted ([a-zA-Z0-9_:-] runs) or valueless (value := local name)
+- self-closing tags emit StartElement + EndElement
+- namespace resolution: prefixes resolve to URIs via in-scope bindings
+  declared by xmlns/xmlns:* attributes (bindings from the same tag apply to
+  the tag itself); undeclared prefixes stay as the raw prefix; ``xml:`` is
+  predeclared; bindings are undone when the element closes
+- \r\n and lone \r rewritten to \n in character data and attribute values
+- numeric character references and the five predefined entities decode;
+  CDATA sections become CharData
+- directives (<!DOCTYPE ...>) are scanned quote-aware with <...> nesting
+  and embedded <!-- --> comments stripped
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+XML_URL = "http://www.w3.org/XML/1998/namespace"
+
+_PREDEFINED_ENTITIES = {"lt": "<", "gt": ">", "amp": "&", "apos": "'", "quot": '"'}
+
+
+class XmlSyntaxError(ValueError):
+    """Equivalent of Go xml.SyntaxError — malformed input."""
+
+
+@dataclass
+class Name:
+    space: str
+    local: str
+
+    def key(self) -> tuple[str, str]:
+        return (self.space, self.local)
+
+
+@dataclass
+class Attr:
+    name: Name
+    value: str
+
+
+@dataclass
+class ProcInst:
+    target: str
+    inst: str
+
+
+@dataclass
+class StartElement:
+    name: Name
+    attrs: list[Attr] = field(default_factory=list)
+
+
+@dataclass
+class EndElement:
+    name: Name
+
+
+@dataclass
+class CharData:
+    text: str
+    cdata: bool = False
+
+
+@dataclass
+class Comment:
+    text: str
+
+
+@dataclass
+class Directive:
+    text: str
+
+
+def _is_name_start(ch: str) -> bool:
+    return ch.isalpha() or ch in "_:"
+
+
+def _is_name_char(ch: str) -> bool:
+    return ch.isalnum() or ch in "_:.-\xb7"
+
+
+def _split_name(raw: str) -> Name:
+    i = raw.find(":")
+    if i >= 0:
+        return Name(raw[:i], raw[i + 1:])
+    return Name("", raw)
+
+
+def _rewrite_crlf(s: str) -> str:
+    if "\r" in s:
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
+    return s
+
+
+class GoXmlTokenizer:
+    """Iterator of tokens over a decoded document string."""
+
+    def __init__(self, data: str, strict: bool = False):
+        self.s = data
+        self.pos = 0
+        self.n = len(data)
+        self.strict = strict
+        # open-element stack: (translated Name, [(prefix, old_uri_or_None, had_binding)])
+        self.stack: list[tuple[Name, list[tuple[str, str | None]]]] = []
+        self.ns: dict[str, str] = {}
+        self._pending: list = []
+
+    # ---- low-level cursor ----
+
+    def _getc(self) -> str:
+        if self.pos >= self.n:
+            raise XmlSyntaxError("unexpected EOF")
+        ch = self.s[self.pos]
+        self.pos += 1
+        return ch
+
+    def _peek(self) -> str:
+        if self.pos >= self.n:
+            return ""
+        return self.s[self.pos]
+
+    def _skip_space(self) -> None:
+        while self.pos < self.n and self.s[self.pos] in " \t\r\n":
+            self.pos += 1
+
+    def _read_raw_name(self) -> str:
+        start = self.pos
+        if self.pos >= self.n or not _is_name_start(self.s[self.pos]):
+            raise XmlSyntaxError("invalid XML name")
+        self.pos += 1
+        while self.pos < self.n and _is_name_char(self.s[self.pos]):
+            self.pos += 1
+        return self.s[start:self.pos]
+
+    # ---- entity-aware text scanning (Go Decoder.text) ----
+
+    def _text(self, quote: str | None, cdata: bool) -> str:
+        """Read character data up to '<' (or closing quote / ``]]>``)."""
+        out: list[str] = []
+        s, n = self.s, self.n
+        while True:
+            if self.pos >= n:
+                if cdata:
+                    raise XmlSyntaxError("unexpected EOF in CDATA section")
+                if quote is not None:
+                    raise XmlSyntaxError("unexpected EOF in attribute value")
+                break
+            ch = s[self.pos]
+            if cdata:
+                if s.startswith("]]>", self.pos):
+                    self.pos += 3
+                    break
+                out.append(ch)
+                self.pos += 1
+                continue
+            if ch == "<":
+                if quote is not None:
+                    # Not gated on Strict in Go (encoding/xml text()).
+                    raise XmlSyntaxError("unescaped < inside quoted string")
+                break
+            if quote is not None and ch == quote:
+                self.pos += 1
+                break
+            if ch == "]" and quote is None and s.startswith("]]>", self.pos):
+                if self.strict:
+                    raise XmlSyntaxError("unescaped ]]> not in CDATA section")
+                out.append(ch)
+                self.pos += 1
+                continue
+            if ch == "&":
+                out.append(self._entity())
+                continue
+            out.append(ch)
+            self.pos += 1
+        return _rewrite_crlf("".join(out))
+
+    def _entity(self) -> str:
+        """Decode one &...; sequence; on failure return the raw consumed text
+        (non-strict) or raise (strict). Mirrors Go text()'s entity branch."""
+        start = self.pos
+        self.pos += 1  # consume '&'
+        if self.pos >= self.n:
+            return "&"
+        ch = self.s[self.pos]
+        if ch == "#":
+            self.pos += 1
+            hexmode = False
+            if self._peek() in ("x", "X"):
+                # Go only accepts lowercase 'x'; '&#X..' is malformed.
+                hexmode = self._peek() == "x"
+                if not hexmode:
+                    return self._entity_fail(start)
+                self.pos += 1
+            digits_start = self.pos
+            if hexmode:
+                while self.pos < self.n and self.s[self.pos] in "0123456789abcdefABCDEF":
+                    self.pos += 1
+            else:
+                while self.pos < self.n and self.s[self.pos].isdigit():
+                    self.pos += 1
+            if self.pos >= self.n or self.s[self.pos] != ";" or self.pos == digits_start:
+                return self._entity_fail(start)
+            num = int(self.s[digits_start:self.pos], 16 if hexmode else 10)
+            if num > 0x10FFFF:
+                return self._entity_fail(start)
+            self.pos += 1
+            if 0xD800 <= num <= 0xDFFF:
+                # Go string(rune(n)) replaces surrogates with U+FFFD.
+                return "�"
+            return chr(num)
+        # named entity
+        name_start = self.pos
+        if self.pos < self.n and _is_name_start(self.s[self.pos]):
+            self.pos += 1
+            while self.pos < self.n and _is_name_char(self.s[self.pos]):
+                self.pos += 1
+        name = self.s[name_start:self.pos]
+        if not name or self.pos >= self.n or self.s[self.pos] != ";":
+            return self._entity_fail(start)
+        self.pos += 1
+        if name in _PREDEFINED_ENTITIES:
+            return _PREDEFINED_ENTITIES[name]
+        return self._entity_fail(start)
+
+    def _entity_fail(self, start: int) -> str:
+        if self.strict:
+            raise XmlSyntaxError("invalid character entity")
+        raw = self.s[start:self.pos]
+        return raw
+
+    # ---- namespace machinery (Go Decoder.translate / pushNs / popElement) ----
+
+    def _translate(self, name: Name, is_element: bool) -> Name:
+        space, local = name.space, name.local
+        if space == "xmlns":
+            return name
+        if space == "" and not is_element:
+            return name
+        if space == "" and local == "xmlns":
+            return name
+        if space == "xml":
+            space = XML_URL
+        if space in self.ns:
+            return Name(self.ns[space], local)
+        return Name(space, local)
+
+    def _push_element(self, tok: StartElement) -> StartElement:
+        saved: list[tuple[str, str | None]] = []
+        for attr in tok.attrs:
+            if attr.name.space == "xmlns":
+                prefix = attr.name.local
+                saved.append((prefix, self.ns.get(prefix)))
+                self.ns[prefix] = attr.value
+            elif attr.name.space == "" and attr.name.local == "xmlns":
+                saved.append(("", self.ns.get("")))
+                self.ns[""] = attr.value
+        tok.name = self._translate(tok.name, True)
+        tok.attrs = [Attr(self._translate(a.name, False), a.value) for a in tok.attrs]
+        self.stack.append((tok.name, saved))
+        return tok
+
+    def _pop_element(self, tok: EndElement) -> list[EndElement]:
+        """Resolve an end tag to one or more EndElement tokens.
+
+        A mismatched close in non-strict mode closes the innermost open
+        element and replays itself (Go's needClose/toClose repair), which
+        may cascade through several open elements.
+        """
+        if not self.stack:
+            raise XmlSyntaxError(f"unexpected end element </{tok.name.local}>")
+        top_name, saved = self.stack.pop()
+        for prefix, old in reversed(saved):
+            if old is None:
+                self.ns.pop(prefix, None)
+            else:
+                self.ns[prefix] = old
+        if top_name.local != tok.name.local:
+            if self.strict:
+                raise XmlSyntaxError(
+                    f"element <{top_name.local}> closed by </{tok.name.local}>"
+                )
+            return [EndElement(top_name)] + self._pop_element(tok)
+        return [EndElement(top_name)]
+
+    # ---- raw token scanning ----
+
+    def tokens(self):
+        """Yield tokens until EOF. Raises XmlSyntaxError on malformed input."""
+        while True:
+            if self._pending:
+                yield self._pending.pop(0)
+                continue
+            if self.pos >= self.n:
+                if self.stack:
+                    raise XmlSyntaxError("unexpected EOF")
+                return
+            ch = self.s[self.pos]
+            if ch != "<":
+                text = self._text(None, False)
+                if text != "":
+                    yield CharData(text)
+                continue
+            self.pos += 1  # consume '<'
+            ch = self._getc()
+            if ch == "/":
+                raw = self._read_raw_name()
+                self._skip_space()
+                if self._getc() != ">":
+                    raise XmlSyntaxError(f"invalid characters between </{raw} and >")
+                end = EndElement(self._translate(_split_name(raw), True))
+                results = self._pop_element(end)
+                self._pending.extend(results[1:])
+                yield results[0]
+                continue
+            if ch == "?":
+                target = self._read_raw_name()
+                rest_start = self.pos
+                idx = self.s.find("?>", self.pos)
+                if idx == -1:
+                    raise XmlSyntaxError("unterminated <? directive")
+                inst = self.s[rest_start:idx].lstrip(" \t\r\n")
+                self.pos = idx + 2
+                yield ProcInst(target, inst)
+                continue
+            if ch == "!":
+                nxt = self._peek()
+                if nxt == "-":
+                    self.pos += 1
+                    if self._getc() != "-":
+                        raise XmlSyntaxError("invalid sequence <!- not part of <!--")
+                    idx = self.s.find("-->", self.pos)
+                    if idx == -1:
+                        raise XmlSyntaxError("unterminated comment")
+                    text = self.s[self.pos:idx]
+                    self.pos = idx + 3
+                    yield Comment(text)
+                    continue
+                if nxt == "[":
+                    self.pos += 1
+                    if not self.s.startswith("CDATA[", self.pos):
+                        raise XmlSyntaxError("invalid <![ sequence")
+                    self.pos += 6
+                    text = self._text(None, True)
+                    yield CharData(text, cdata=True)
+                    continue
+                yield Directive(self._directive())
+                continue
+            # start tag
+            self.pos -= 1
+            tok = self._start_tag()
+            if isinstance(tok, tuple):  # self-closing: (start, end)
+                start, end_name = tok
+                yield self._push_element(start)
+                end = EndElement(end_name)
+                results = self._pop_element(end)
+                self._pending.extend(results[1:])
+                yield results[0]
+            else:
+                yield self._push_element(tok)
+
+    def _directive(self) -> str:
+        """Go's quote-aware, nesting-aware <! ... > scan with embedded
+        comments stripped (encoding/xml rawToken's '!' default branch)."""
+        buf: list[str] = []
+        inquote = ""
+        depth = 0
+        while True:
+            b = self._getc()
+            if not inquote and b == ">" and depth == 0:
+                break
+            while True:
+                buf.append(b)
+                if b == inquote:
+                    inquote = ""
+                elif inquote:
+                    pass
+                elif b in "'\"":
+                    inquote = b
+                elif b == ">" and depth > 0:
+                    depth -= 1
+                elif b == "<" and depth > 0:
+                    depth += 1
+                elif b == "<":
+                    # look for <!-- to begin a comment
+                    marker = "!--"
+                    matched = 0
+                    nb = ""
+                    for i, mc in enumerate(marker):
+                        nb = self._getc()
+                        if nb != mc:
+                            buf.extend(marker[:i])
+                            depth += 1
+                            break
+                        matched += 1
+                    if matched == len(marker):
+                        # strip the '<' we wrote; skip to -->
+                        buf.pop()
+                        idx = self.s.find("-->", self.pos)
+                        if idx == -1:
+                            raise XmlSyntaxError("unterminated comment in directive")
+                        self.pos = idx + 3
+                        break
+                    else:
+                        b = nb
+                        continue
+                break
+        return "".join(buf)
+
+    def _start_tag(self):
+        raw = self._read_raw_name()
+        name = _split_name(raw)
+        attrs: list[Attr] = []
+        while True:
+            self._skip_space()
+            ch = self._getc()
+            if ch == "/":
+                if self._getc() != ">":
+                    raise XmlSyntaxError("expected /> in element")
+                return (StartElement(name, attrs), _split_name(raw))
+            if ch == ">":
+                return StartElement(name, attrs)
+            self.pos -= 1
+            attr_raw = self._read_raw_name()
+            attr_name = _split_name(attr_raw)
+            self._skip_space()
+            if self._peek() == "=":
+                self.pos += 1
+                self._skip_space()
+                value = self._attrval()
+            else:
+                if self.strict:
+                    raise XmlSyntaxError("attribute name without = in element")
+                value = attr_name.local
+            attrs.append(Attr(attr_name, value))
+
+    def _attrval(self) -> str:
+        ch = self._getc()
+        if ch in "\"'":
+            return self._text(ch, False)
+        if self.strict:
+            raise XmlSyntaxError("unquoted or missing attribute value in element")
+        self.pos -= 1
+        out = []
+        while self.pos < self.n:
+            b = self.s[self.pos]
+            if b.isascii() and (b.isalnum() or b in "_:-"):
+                out.append(b)
+                self.pos += 1
+            else:
+                break
+        return "".join(out)
