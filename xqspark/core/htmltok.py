@@ -1,0 +1,362 @@
+"""WHATWG HTML tokenizer with golang.org/x/net/html semantics.
+
+From-scratch re-expression of the token stream consumed by the reference's
+FormatHtml (internal/utils/utils.go:318: html.NewTokenizer) and built into a
+tree for CSS mode. Matches x/net/html behavior:
+
+- tag/attr names lowercased; attr values entity-decoded in attribute mode;
+  \r\n and \r converted to \n in text and attribute values
+- raw-text elements (iframe noembed noframes noscript plaintext script
+  style textarea title xmp): content is a single text token ending at the
+  matching close tag; textarea/title are RCDATA (entities decoded), the
+  rest raw
+- self-closing only when the raw tag ends with "/>"
+- comments carry their full raw span (FormatHtml prints Raw());
+  bogus comments (<!x, <?pi, </ + non-letter) consume through the next '>'
+- <!doctype ...> (case-insensitive) -> Doctype token, text after the
+  keyword with leading whitespace skipped
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .entities import unescape
+
+RAW_TEXT_TAGS = frozenset(
+    (
+        "iframe",
+        "noembed",
+        "noframes",
+        "noscript",
+        "plaintext",
+        "script",
+        "style",
+        "textarea",
+        "title",
+        "xmp",
+    )
+)
+
+_WS = " \t\n\f\r"
+
+
+@dataclass
+class HText:
+    text: str  # convertNewlines'd; unescaped unless raw source
+    raw: bool = False
+
+
+@dataclass
+class HStartTag:
+    name: str
+    attrs: list[tuple[str, str]] = field(default_factory=list)
+    self_closing: bool = False
+
+
+@dataclass
+class HEndTag:
+    name: str
+
+
+@dataclass
+class HComment:
+    raw: str  # full raw span including delimiters
+    data: str = ""
+
+
+@dataclass
+class HDoctype:
+    text: str
+
+
+def _convert_newlines(s: str) -> str:
+    if "\r" in s:
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
+    return s
+
+
+class HtmlTokenizer:
+    def __init__(self, data: str):
+        self.s = data
+        self.pos = 0
+        self.n = len(data)
+        self.raw_tag = ""
+
+    def tokens(self):
+        s, n = self.s, self.n
+        while self.pos < n:
+            if self.raw_tag:
+                tok = self._read_raw_or_rcdata()
+                if tok is not None:
+                    yield tok
+                continue
+            lt = s.find("<", self.pos)
+            if lt == -1:
+                yield self._text_token(s[self.pos:n], False)
+                self.pos = n
+                break
+            if lt > self.pos:
+                yield self._text_token(s[self.pos:lt], False)
+                self.pos = lt
+            # self.pos is at '<'
+            if self.pos + 1 >= n:
+                yield self._text_token("<", False)
+                self.pos = n
+                break
+            c = s[self.pos + 1]
+            if c.isascii() and c.isalpha():
+                tok = self._read_start_tag()
+                if tok is None:
+                    return  # EOF inside tag
+                yield tok
+            elif c == "/":
+                if self.pos + 2 >= n:
+                    yield self._text_token("</", False)
+                    self.pos = n
+                    break
+                c2 = s[self.pos + 2]
+                if c2.isascii() and c2.isalpha():
+                    tok = self._read_end_tag()
+                    if tok is None:
+                        return
+                    yield tok
+                elif c2 == ">":
+                    self.pos += 3  # "</>" produces no token
+                else:
+                    yield self._read_bogus_comment(self.pos)
+            elif c == "!":
+                tok = self._read_markup_declaration()
+                if tok is None:
+                    return
+                yield tok
+            elif c == "?":
+                yield self._read_bogus_comment(self.pos)
+            else:
+                # '<' is literal text; emit it and continue scanning after.
+                nxt = s.find("<", self.pos + 1)
+                end = n if nxt == -1 else nxt
+                yield self._text_token(s[self.pos:end], False)
+                self.pos = end
+
+    # ---- helpers ----
+
+    def _text_token(self, raw: str, is_raw: bool) -> HText:
+        text = _convert_newlines(raw)
+        if not is_raw:
+            text = unescape(text)
+        return HText(text, raw=is_raw)
+
+    def _read_raw_or_rcdata(self):
+        """Text inside a raw-text element, up to its matching close tag."""
+        s, n = self.s, self.n
+        tag = self.raw_tag
+        if tag == "plaintext":
+            text = s[self.pos:n]
+            self.pos = n
+            self.raw_tag = ""
+            if not text:
+                return None
+            return HText(_convert_newlines(text), raw=True)
+        needle = "</" + tag
+        search = self.pos
+        end = -1
+        while True:
+            idx = self._find_ci(needle, search)
+            if idx == -1:
+                end = n
+                close_start = n
+                break
+            after = idx + len(needle)
+            if after >= n or s[after] in _WS or s[after] in "/>":
+                end = idx
+                close_start = idx
+                break
+            search = idx + 1
+        raw_content = s[self.pos:end]
+        self.pos = close_start
+        self.raw_tag = ""
+        if not raw_content:
+            return None
+        is_raw = tag not in ("textarea", "title")
+        text = _convert_newlines(raw_content)
+        if not is_raw:
+            text = unescape(text)
+        return HText(text, raw=is_raw)
+
+    def _find_ci(self, needle: str, start: int) -> int:
+        """Case-insensitive find without lowering the whole buffer each call."""
+        s, n = self.s, self.n
+        first = needle[0]
+        ln = len(needle)
+        i = start
+        while True:
+            i = s.find(first, i)
+            if i == -1 or i + ln > n:
+                return -1
+            if s[i : i + ln].lower() == needle:
+                return i
+            i += 1
+
+    def _read_start_tag(self):
+        s, n = self.s, self.n
+        start = self.pos
+        self.pos += 1  # consume '<'
+        name = self._read_tag_name()
+        attrs: list[tuple[str, str]] = []
+        self._skip_ws()
+        closed = False
+        while self.pos < n:
+            c = s[self.pos]
+            if c == ">":
+                self.pos += 1
+                closed = True
+                break
+            key, val = self._read_attr()
+            if key:
+                attrs.append((key, val))
+            self._skip_ws()
+        if not closed:
+            return None  # EOF inside tag -> ErrorToken in x/net/html
+        raw = s[start:self.pos]
+        self_closing = raw.endswith("/>")
+        if not self_closing and name in RAW_TEXT_TAGS:
+            self.raw_tag = name
+        return HStartTag(name, attrs, self_closing)
+
+    def _read_end_tag(self):
+        s, n = self.s, self.n
+        self.pos += 2  # consume '</'
+        name = self._read_tag_name()
+        # Skip everything else until '>'
+        while self.pos < n:
+            c = s[self.pos]
+            self.pos += 1
+            if c == ">":
+                return HEndTag(name)
+        return None
+
+    def _read_tag_name(self) -> str:
+        s, n = self.s, self.n
+        start = self.pos
+        while self.pos < n:
+            c = s[self.pos]
+            if c in _WS or c in "/>":
+                break
+            self.pos += 1
+        return s[start:self.pos].lower()
+
+    def _skip_ws(self) -> None:
+        s, n = self.s, self.n
+        while self.pos < n and s[self.pos] in _WS:
+            self.pos += 1
+
+    def _read_attr(self) -> tuple[str, str]:
+        s, n = self.s, self.n
+        # key (x/net/html readTagAttrKey: '=' as first char is part of key)
+        start = self.pos
+        while self.pos < n:
+            c = s[self.pos]
+            if c in _WS or c == "/":
+                key_end = self.pos
+                self.pos += 1
+                break
+            if c == "=" and self.pos > start:
+                key_end = self.pos
+                break
+            if c == ">":
+                key_end = self.pos
+                break
+            self.pos += 1
+        else:
+            key_end = self.pos
+        key = s[start:key_end].lower()
+        # value
+        self._skip_ws()
+        if self.pos >= n or s[self.pos] != "=":
+            return key, ""
+        self.pos += 1
+        self._skip_ws()
+        if self.pos >= n:
+            return key, ""
+        quote = s[self.pos]
+        if quote in "\"'":
+            self.pos += 1
+            end = s.find(quote, self.pos)
+            if end == -1:
+                end = n
+                raw_val = s[self.pos:end]
+                self.pos = n
+            else:
+                raw_val = s[self.pos:end]
+                self.pos = end + 1
+        else:
+            vstart = self.pos
+            while self.pos < n and s[self.pos] not in _WS and s[self.pos] != ">":
+                self.pos += 1
+            raw_val = s[vstart:self.pos]
+        return key, unescape(_convert_newlines(raw_val), in_attr=True)
+
+    def _read_bogus_comment(self, start: int) -> HComment:
+        s, n = self.s, self.n
+        end = s.find(">", start)
+        if end == -1:
+            raw = s[start:n]
+            data = raw[2:]
+            self.pos = n
+        else:
+            raw = s[start : end + 1]
+            data = s[start + 2 : end]
+            self.pos = end + 1
+        return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
+
+    def _read_markup_declaration(self):
+        s, n = self.s, self.n
+        start = self.pos
+        if s.startswith("<!--", start):
+            return self._read_comment(start)
+        if s[start + 2 : start + 9].lower() == "doctype":
+            return self._read_doctype(start)
+        return self._read_bogus_comment(start)
+
+    def _read_comment(self, start: int):
+        s, n = self.s, self.n
+        i = start + 4
+        # scan for --> or --!>
+        while True:
+            dash = s.find("--", i)
+            if dash == -1:
+                raw = s[start:n]
+                data = s[start + 4 : n]
+                self.pos = n
+                return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
+            j = dash + 2
+            # swallow extra dashes: ---> ends the comment too
+            while j < n and s[j] == "-":
+                j += 1
+            if j < n and s[j] == ">":
+                raw = s[start : j + 1]
+                data = s[start + 4 : j - 2]
+                self.pos = j + 1
+                return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
+            if j + 1 < n and s[j] == "!" and s[j + 1] == ">":
+                raw = s[start : j + 2]
+                data = s[start + 4 : dash]
+                self.pos = j + 2
+                return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
+            i = dash + 1
+        # unreachable
+
+    def _read_doctype(self, start: int):
+        s, n = self.s, self.n
+        i = start + 9  # after "<!doctype"
+        while i < n and s[i] in _WS:
+            i += 1
+        end = s.find(">", i)
+        if end == -1:
+            text = s[i:n]
+            self.pos = n
+        else:
+            text = s[i:end]
+            self.pos = end + 1
+        return HDoctype(_convert_newlines(text))
