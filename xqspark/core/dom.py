@@ -1,0 +1,155 @@
+"""XML node tree — the DOM used by XPath and JSON-conversion modes.
+
+Equivalent of the reference's use of antchfx/xmlquery
+(internal/utils/utils.go:217-222 lenient parse for -x/-e;
+cmd/root.go:311 strict parse for -j). Node kinds mirror xmlquery:
+Document / Declaration / Element / Text (CDATA flagged) / Comment / PI;
+attributes live on elements. Key behavioral contracts:
+
+- ``inner_text`` concatenates descendant text with NO separator, skipping
+  comments (xmlquery Node.InnerText; used by XPath string-values and by
+  printNodeContent, utils.go:279)
+- element ``data`` is the LOCAL name; the prefix is kept separately
+  (NodeToJSON keys are local names, jsonutil.go:81)
+- document order index on every node (XPath node-set ordering)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .charset import decode_payload
+from .xmltok import (
+    CharData,
+    Comment,
+    Directive,
+    EndElement,
+    GoXmlTokenizer,
+    ProcInst,
+    StartElement,
+)
+
+DOCUMENT = "document"
+DECLARATION = "declaration"
+ELEMENT = "element"
+TEXT = "text"
+COMMENT = "comment"
+PI = "pi"
+ATTRIBUTE = "attribute"
+
+
+@dataclass
+class DomAttr:
+    space: str
+    local: str
+    value: str
+    # prefix as written in the source (for name() / serialization)
+    prefix: str = ""
+
+
+class DomNode:
+    __slots__ = (
+        "type",
+        "data",
+        "prefix",
+        "namespace",
+        "attrs",
+        "parent",
+        "children",
+        "order",
+        "cdata",
+    )
+
+    def __init__(self, type_: str, data: str = "", prefix: str = "", namespace: str = ""):
+        self.type = type_
+        self.data = data  # local name for elements; text for text/comment
+        self.prefix = prefix
+        self.namespace = namespace
+        self.attrs: list[DomAttr] = []
+        self.parent: DomNode | None = None
+        self.children: list[DomNode] = []
+        self.order = 0
+        self.cdata = False
+
+    def append(self, child: "DomNode") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    # -- traversal helpers --
+
+    def iter_descendants(self):
+        for child in self.children:
+            yield child
+            yield from child.iter_descendants()
+
+    def inner_text(self) -> str:
+        parts: list[str] = []
+
+        def walk(n: DomNode) -> None:
+            if n.type == TEXT:
+                parts.append(n.data)
+            elif n.type == COMMENT:
+                return
+            else:
+                for c in n.children:
+                    walk(c)
+
+        walk(self)
+        return "".join(parts)
+
+    def full_name(self) -> str:
+        if self.prefix:
+            return self.prefix + ":" + self.data
+        return self.data
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<DomNode {self.type} {self.full_name()!r}>"
+
+
+def parse_dom(data: bytes | str, strict: bool = False) -> DomNode:
+    """Build a document tree from bytes/text. Raises XmlSyntaxError."""
+    if isinstance(data, bytes):
+        text = decode_payload(data)
+    else:
+        text = data
+
+    doc = DomNode(DOCUMENT)
+    current = doc
+    order = 0
+    # map resolved namespace URI (or raw prefix) back to the written prefix
+    for token in GoXmlTokenizer(text, strict=strict).tokens():
+        order += 1
+        if isinstance(token, StartElement):
+            node = DomNode(ELEMENT, token.name.local, token.name.prefix, token.name.space)
+            node.order = order
+            for attr in token.attrs:
+                node.attrs.append(
+                    DomAttr(attr.name.space, attr.name.local, attr.value, attr.name.prefix)
+                )
+            current.append(node)
+            current = node
+        elif isinstance(token, EndElement):
+            if current.parent is not None:
+                current = current.parent
+        elif isinstance(token, CharData):
+            node = DomNode(TEXT, token.text)
+            node.cdata = token.cdata
+            node.order = order
+            current.append(node)
+        elif isinstance(token, Comment):
+            node = DomNode(COMMENT, token.text)
+            node.order = order
+            current.append(node)
+        elif isinstance(token, ProcInst):
+            kind = DECLARATION if token.target == "xml" else PI
+            node = DomNode(kind, token.target)
+            node.order = order
+            current.append(node)
+        elif isinstance(token, Directive):
+            continue
+    # assign document order by pre-order walk (stable for XPath sorting)
+    idx = 0
+    for n in doc.iter_descendants():
+        n.order = idx
+        idx += 1
+    return doc

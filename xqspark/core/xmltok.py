@@ -38,6 +38,7 @@ class XmlSyntaxError(ValueError):
 class Name:
     space: str
     local: str
+    prefix: str = ""  # prefix as written in the source (survives translation)
 
     def key(self) -> tuple[str, str]:
         return (self.space, self.local)
@@ -93,7 +94,7 @@ def _is_name_char(ch: str) -> bool:
 def _split_name(raw: str) -> Name:
     i = raw.find(":")
     if i >= 0:
-        return Name(raw[:i], raw[i + 1:])
+        return Name(raw[:i], raw[i + 1:], prefix=raw[:i])
     return Name("", raw)
 
 
@@ -252,8 +253,8 @@ class GoXmlTokenizer:
         if space == "xml":
             space = XML_URL
         if space in self.ns:
-            return Name(self.ns[space], local)
-        return Name(space, local)
+            return Name(self.ns[space], local, prefix=name.prefix)
+        return Name(space, local, prefix=name.prefix)
 
     def _push_element(self, tok: StartElement) -> StartElement:
         saved: list[tuple[str, str | None]] = []
