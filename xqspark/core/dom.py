@@ -58,6 +58,7 @@ class DomNode:
         "children",
         "order",
         "cdata",
+        "pi_inst",
     )
 
     def __init__(self, type_: str, data: str = "", prefix: str = "", namespace: str = ""):
@@ -70,6 +71,7 @@ class DomNode:
         self.children: list[DomNode] = []
         self.order = 0
         self.cdata = False
+        self.pi_inst = ""
 
     def append(self, child: "DomNode") -> None:
         child.parent = self
@@ -143,6 +145,7 @@ def parse_dom(data: bytes | str, strict: bool = False) -> DomNode:
         elif isinstance(token, ProcInst):
             kind = DECLARATION if token.target == "xml" else PI
             node = DomNode(kind, token.target)
+            node.pi_inst = token.inst
             node.order = order
             current.append(node)
         elif isinstance(token, Directive):

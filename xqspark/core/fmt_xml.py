@@ -40,7 +40,11 @@ def format_xml(data: bytes | str, indent: str = "  ") -> str:
         text = decode_payload(data)
     else:
         text = data
+    return format_xml_tokens(GoXmlTokenizer(text, strict=False).tokens(), indent)
 
+
+def format_xml_tokens(tokens, indent: str = "  ") -> str:
+    """Run the FormatXml state machine over an explicit token stream."""
     out: list[str] = []
     write = out.append
 
@@ -52,7 +56,7 @@ def format_xml(data: bytes | str, indent: str = "  ") -> str:
     start_tag_closed = True
     newline = "\n" if indent != "" else ""
 
-    for token in GoXmlTokenizer(text, strict=False).tokens():
+    for token in tokens:
         if isinstance(token, ProcInst):
             write("<?" + token.target)
             pi = token.inst.strip(" \t\r\n")
