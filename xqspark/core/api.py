@@ -115,6 +115,41 @@ def xpath_query(
     raise XPathError(f"unknown type error: {val!r}")
 
 
+def css_query(
+    data: bytes | str,
+    query: str,
+    attr: str = "",
+    with_tags: bool = False,
+    indent: str = "  ",
+) -> str:
+    """CSSQuery (utils.go:283-315): -q / -a / -q -n modes."""
+    from .css import compile_css
+    from .fmt_html import format_html
+    from .htmltree import parse_html, serialize_html
+
+    doc = parse_html(data)
+    selector = compile_css(query)
+    out: list[str] = []
+    for item in selector.select(doc):
+        if attr != "":
+            value = ""
+            for a in item.attrs:
+                if a.local == attr:
+                    value = a.value
+                    break
+            out.append(go_trim_space(value) + "\n")
+        elif with_tags:
+            attrs_str = "".join(
+                " " + a.local + '="' + escape_text(a.value) + '"' for a in item.attrs
+            )
+            inner = serialize_html(item, outer=False)
+            fragment = f"<{item.data}{attrs_str}>{inner}</{item.data}>"
+            out.append(format_html(fragment, indent))
+        else:
+            out.append(go_trim_space(item.inner_text()) + "\n")
+    return "".join(out)
+
+
 def beautify(
     data: bytes | str, indent: str = "  ", force_html: bool = False
 ) -> str:
