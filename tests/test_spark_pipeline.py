@@ -1,0 +1,141 @@
+"""End-to-end Spark tests: golden fixtures as rows of a synthetic pages
+table, extracted output compared byte-for-byte per url (SURVEY.md §5)."""
+
+import pathlib
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xqspark.pipeline import (
+    PAGES_SCHEMA,
+    build_session,
+    extract_pages,
+    lineage,
+    run_with_resume,
+    synthesize_pages,
+    with_host_salt,
+)
+from xqspark.udfs import (
+    content_type_col,
+    make_beautify_udf,
+    make_css_values_udf,
+    make_format_xml_udf,
+    make_xpath_values_udf,
+)
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(cpus=4, app="xqspark-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def fixture_pages(spark):
+    import datetime
+    rows = []
+    for i, path in enumerate(sorted((FIXTURES / "xml").glob("unformatted*.xml"))):
+        rows.append(
+            (
+                f"fixture://xml/{path.name}",
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i),
+                path.read_bytes(),
+                "",
+                "en",
+            )
+        )
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def test_beautify_udf_matches_goldens(spark, fixture_pages):
+    fmt = make_format_xml_udf("  ")
+    result = {
+        r["url"]: r["out"]
+        for r in fixture_pages.select("url", fmt(F.col("html")).alias("out")).collect()
+    }
+    for path in sorted((FIXTURES / "xml").glob("unformatted*.xml")):
+        golden = (FIXTURES / "xml" / path.name.replace("unformatted", "formatted")).read_text()
+        assert result[f"fixture://xml/{path.name}"] == golden, path.name
+
+
+def test_xpath_udf(spark, fixture_pages):
+    udf = make_xpath_values_udf("//city")
+    row = (
+        fixture_pages.filter(F.col("url").endswith("/unformatted.xml"))
+        .select(udf(F.col("html")).alias("cities"))
+        .collect()[0]
+    )
+    assert row["cities"] == ["Bellville"]
+
+
+def test_css_udf(spark):
+    html = (FIXTURES / "html" / "formatted.html").read_bytes()
+    df = spark.createDataFrame([("u1", None, html, "", "en")], PAGES_SCHEMA)
+    udf = make_css_values_udf("script", attr="src")
+    row = df.select(udf(F.col("html")).alias("srcs")).collect()[0]
+    assert row["srcs"] == ["foo.js", "bar.js", "baz.js"]
+
+
+def test_content_type_col(spark):
+    rows = [
+        ("j", None, b'{"a":1}', "", ""),
+        ("h", None, b"<!doctype html><p>x</p>", "", ""),
+        ("x", None, b"<root/>", "", ""),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = {r["url"]: r["ct"] for r in df.select("url", content_type_col(F.col("html")).alias("ct")).collect()}
+    assert got == {"j": "json", "h": "html", "x": "xml"}
+
+
+def test_extract_pipeline_and_lineage(spark):
+    pages = synthesize_pages(spark, n_rows=500, n_hosts=20)
+    extracted = extract_pages(pages, mode="xpath", query="//title", n_buckets=16)
+    rows = extracted.collect()
+    assert len(rows) == 500
+    assert all(r["error"] is None for r in rows)
+    # every page's extracted title is "Page <id>\n"
+    sample = [r for r in rows if r["url"].endswith("/p7")][0]
+    assert sample["extracted"] == "Page 7\n"
+    lin = lineage(extracted).collect()
+    assert sum(r["docs"] for r in lin) == 500
+    assert all(r["errors"] == 0 for r in lin)
+
+
+def test_malformed_rows_contained(spark):
+    rows = [
+        ("ok", None, b"<a><b>x</b></a>", "", "en"),
+        ("bad", None, b"<a><b>truncated", "", "en"),
+        ("empty", None, None, "", "en"),
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = {r["url"]: r for r in extract_pages(df, mode="beautify", query="").collect()}
+    assert got["ok"]["error"] is None
+    assert got["bad"]["error"] is not None
+    assert got["empty"]["error"] == "empty"
+
+
+def test_skew_salting(spark):
+    pages = synthesize_pages(spark, n_rows=2000, n_hosts=50)
+    salted = with_host_salt(pages, salts=8)
+    # host1 owns the lion's share (Zipf); with salt it spreads over 8 keys
+    hot = salted.filter(F.col("host") == "host1.example")
+    n_salts = hot.select("salt").distinct().count()
+    assert n_salts >= 6
+
+
+def test_resume_replays_only_unfinished(spark):
+    out = tempfile.mkdtemp(prefix="xq_resume_")
+    try:
+        pages = synthesize_pages(spark, n_rows=300, n_hosts=10)
+        first = run_with_resume(pages, out, mode="xpath", query="//title", n_buckets=8)
+        assert first["processed"] == 300 and first["skipped_parts"] == 0
+        second = run_with_resume(pages, out, mode="xpath", query="//title", n_buckets=8)
+        assert second["processed"] == 0
+        assert second["skipped_parts"] == 8
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1,0 +1,187 @@
+"""Vectorized Arrow/pandas UDFs wrapping the pure-Python core.
+
+Per the input_hint contract: pandas/Arrow UDFs throughout, never per-row
+Python UDFs. Queries (XPath/CSS) compile ONCE per UDF instantiation —
+hoisted out of the per-row path exactly like the reference compiles before
+iterating (internal/utils/utils.go:239-244).
+
+Per-document errors are contained (lenient parsing + try/except -> None /
+error string), never task failures — the Spark analog of the reference's
+recover() on XPath panics (utils.go:211-215) at 10^12-document scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from xqspark.core.api import beautify, css_query, to_json, xpath_query
+from xqspark.core.charset import decode_payload
+from xqspark.core.dom import parse_dom
+from xqspark.core.fmt_html import format_html
+from xqspark.core.fmt_json import format_json
+from xqspark.core.fmt_xml import format_xml
+from xqspark.core.textutil import go_trim_space
+from xqspark.core.xpath import compile_xpath, string_value
+
+
+def _as_payload(v):
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v)
+    return str(v)
+
+
+def _series_map(series: pd.Series, fn) -> pd.Series:
+    """Apply fn per document inside the Arrow batch; None on error."""
+    out = []
+    for v in series:
+        payload = _as_payload(v)
+        if payload is None:
+            out.append(None)
+            continue
+        try:
+            out.append(fn(payload))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def make_format_xml_udf(indent: str = "  "):
+    @pandas_udf(T.StringType())
+    def fmt(html: pd.Series) -> pd.Series:
+        return _series_map(html, lambda p: format_xml(p, indent))
+
+    return fmt
+
+
+def make_format_html_udf(indent: str = "  "):
+    @pandas_udf(T.StringType())
+    def fmt(html: pd.Series) -> pd.Series:
+        return _series_map(html, lambda p: format_html(p, indent))
+
+    return fmt
+
+
+def make_format_json_udf(indent: str = "  "):
+    @pandas_udf(T.StringType())
+    def fmt(payload: pd.Series) -> pd.Series:
+        return _series_map(payload, lambda p: format_json(p, indent))
+
+    return fmt
+
+
+def make_beautify_udf(indent: str = "  "):
+    """Format-sniffing beautifier (processContent, cmd/root.go:272-294)."""
+
+    @pandas_udf(T.StringType())
+    def fmt(payload: pd.Series) -> pd.Series:
+        return _series_map(payload, lambda p: beautify(p, indent))
+
+    return fmt
+
+
+def make_xpath_values_udf(query: str):
+    """extract_xpath: ArrayType(StringType) — one trimmed string-value per
+    matched node (utils.go:253-260). The query compiles once per worker."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def extract(html: pd.Series) -> pd.Series:
+        expr = compile_xpath(query)
+
+        def one(payload):
+            doc = parse_dom(payload, strict=False)
+            val = expr.evaluate(doc)
+            if isinstance(val, list):
+                return [go_trim_space(string_value(n)) for n in val]
+            return None
+
+        return _series_map(html, one)
+
+    return extract
+
+
+def make_xpath_output_udf(query: str, single: bool = False, with_tags: bool = False,
+                          indent: str = "  "):
+    """Full xq-printed output for -x/-e/-n (byte-identical text column)."""
+
+    @pandas_udf(T.StringType())
+    def extract(html: pd.Series) -> pd.Series:
+        return _series_map(
+            html, lambda p: xpath_query(p, query, single, with_tags, indent)
+        )
+
+    return extract
+
+
+def make_css_values_udf(selector: str, attr: str = ""):
+    """extract_css / extract_css_attr: ArrayType(StringType)."""
+    from xqspark.core.css import compile_css
+    from xqspark.core.htmltree import parse_html
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def extract(html: pd.Series) -> pd.Series:
+        sel = compile_css(selector)
+
+        def one(payload):
+            doc = parse_html(payload)
+            out = []
+            for item in sel.select(doc):
+                if attr:
+                    value = ""
+                    for a in item.attrs:
+                        if a.local == attr:
+                            value = a.value
+                            break
+                    out.append(go_trim_space(value))
+                else:
+                    out.append(go_trim_space(item.inner_text()))
+            return out
+
+        return _series_map(html, one)
+
+    return extract
+
+
+def make_css_output_udf(selector: str, attr: str = "", with_tags: bool = False,
+                        indent: str = "  "):
+    @pandas_udf(T.StringType())
+    def extract(html: pd.Series) -> pd.Series:
+        return _series_map(
+            html, lambda p: css_query(p, selector, attr, with_tags, indent)
+        )
+
+    return extract
+
+
+def make_xml_to_json_udf(depth: int = -1, compact: bool = False):
+    @pandas_udf(T.StringType())
+    def convert(payload: pd.Series) -> pd.Series:
+        return _series_map(payload, lambda p: to_json(p, depth, compact))
+
+    return convert
+
+
+def content_type_col(col):
+    """Vectorized format sniffing as a Catalyst expression — the Spark
+    analog of the 10-byte dispatch (cmd/root.go:247-270). Stays JVM-side."""
+    prefix = F.lower(F.substring(col.cast("string"), 1, 10))
+    return (
+        F.when(prefix.rlike(r"^\s*[\{\[]"), F.lit("json"))
+        .when(
+            prefix.contains("html") | prefix.contains("<!d") | prefix.contains("<body"),
+            F.lit("html"),
+        )
+        .when(F.length(prefix) == 0, F.lit("text"))
+        .otherwise(F.lit("xml"))
+    )
+
+
+def declared_charset_col(col):
+    """Vectorized xml-decl charset sniff (utils.go:708-717 analog)."""
+    return F.regexp_extract(
+        F.substring(col.cast("string"), 1, 200), r'encoding=["\']([^"\']+)["\']', 1
+    )
