@@ -1,0 +1,706 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry pairs a PySpark implementation (spark, sf_dir) -> DataFrame
+with a DuckDB oracle SQL string of IDENTICAL semantics and column names
+(the driver compares row-count + schema + order-insensitive value hash).
+
+Three families:
+1. Extraction ops (SURVEY.md §2.2): html payloads are CONSTRUCTED from
+   base columns, so ground truth is computable in plain SQL — the oracle
+   checks the whole tokenizer/XPath/CSS/beautifier path byte-for-byte.
+2. Relational pipeline ops (SURVEY.md §2.4): filters, top-k, dedup,
+   lineage, joins, windowed aggregates.
+3. Training-data ops: dedup (exact, MinHash+LSH, n-gram Jaccard),
+   similarity search (brute-force + IVF-by-label ANN), text analysis
+   (lang-id, quality, token counts, fingerprints), multimodal stubs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _page_html(doc_col="text", title_col="source"):
+    """Deterministic per-row XML payload built JVM-side (no UDF)."""
+    return F.concat(
+        F.lit("<doc><title>"),
+        F.col(title_col),
+        F.lit("</title><body>"),
+        F.trim(F.col(doc_col)),
+        F.lit("</body></doc>"),
+    )
+
+
+# --- 1. extraction ops ------------------------------------------------------
+
+
+def q_xpath_title(spark, sf_dir):
+    from xqspark.udfs import make_xpath_output_udf
+
+    udf = make_xpath_output_udf("//title", single=True)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(udf(_page_html().cast("binary")), "\\n$", "").alias("title"),
+    )
+
+
+def q_xpath_title_sql():
+    return "SELECT doc_id, source AS title FROM documents"
+
+
+def q_xpath_token_count(spark, sf_dir):
+    from xqspark.udfs import make_xpath_values_udf
+
+    udf = make_xpath_values_udf("//w")
+    html = F.concat(
+        F.lit("<doc>"),
+        F.regexp_replace(F.trim(F.col("text")), r"(\S+)", r"<w>$1</w>"),
+        F.lit("</doc>"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(udf(html.cast("binary"))).cast("long").alias("n_tokens")
+    )
+
+
+def q_xpath_token_count_sql():
+    return (
+        "SELECT doc_id, len(regexp_extract_all(trim(text), '\\S+'))::BIGINT AS n_tokens "
+        "FROM documents"
+    )
+
+
+def q_css_lang_attr(spark, sf_dir):
+    from xqspark.udfs import make_css_values_udf
+
+    udf = make_css_values_udf("body > p", attr="lang")
+    html = F.concat(
+        F.lit('<html><body><p lang="'),
+        F.col("lang"),
+        F.lit('">x</p></body></html>'),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.element_at(udf(html.cast("binary")), 1).alias("lang_attr")
+    )
+
+
+def q_css_lang_attr_sql():
+    return "SELECT doc_id, lang AS lang_attr FROM documents"
+
+
+def q_beautify_xml(spark, sf_dir):
+    from xqspark.udfs import make_format_xml_udf
+
+    udf = make_format_xml_udf("  ")
+    return _docs(spark, sf_dir).select(
+        "doc_id", udf(_page_html().cast("binary")).alias("pretty")
+    )
+
+
+def q_beautify_xml_sql():
+    # the exact byte output of FormatXml for this construction
+    return (
+        "SELECT doc_id, "
+        "'<doc>' || chr(10) || '  <title>' || source || '</title>' || chr(10) || "
+        "'  <body>' || trim(text) || '</body>' || chr(10) || '</doc>' || chr(10) "
+        "AS pretty FROM documents"
+    )
+
+
+def q_xml2json_doc(spark, sf_dir):
+    from xqspark.udfs import make_xml_to_json_udf
+
+    udf = make_xml_to_json_udf()
+    return _docs(spark, sf_dir).select(
+        "doc_id", udf(_page_html().cast("binary")).alias("json_out")
+    )
+
+
+def q_xml2json_doc_sql():
+    # NodeToJSON + Go-marshal key sort: body < title
+    return (
+        "SELECT doc_id, "
+        "'{' || chr(10) || '  \"doc\": {' || chr(10) || "
+        "'    \"body\": \"' || trim(text) || '\",' || chr(10) || "
+        "'    \"title\": \"' || source || '\"' || chr(10) || "
+        "'  }' || chr(10) || '}' || chr(10) AS json_out FROM documents"
+    )
+
+
+def q_detect_format(spark, sf_dir):
+    from xqspark.udfs import content_type_col
+
+    payload = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit('{"a": 1}'))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("<!doctype html><p>x</p>"))
+        .otherwise(F.lit("<root/>"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", content_type_col(payload).alias("fmt")
+    )
+
+
+def q_detect_format_sql():
+    return (
+        "SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'json' WHEN 1 THEN 'html' "
+        "ELSE 'xml' END AS fmt FROM documents"
+    )
+
+
+# --- 2. relational pipeline ops ---------------------------------------------
+
+
+def q_host_topk(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(5)
+    )
+
+
+def q_host_topk_sql():
+    return (
+        "SELECT source, count(*)::BIGINT AS n_docs FROM documents "
+        "GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 5"
+    )
+
+
+def q_dedup_groups(spark, sf_dir):
+    key = F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3))
+    return (
+        _docs(spark, sf_dir)
+        .select(key.alias("dedup_key"), "doc_id")
+        .groupBy("dedup_key")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def q_dedup_groups_sql():
+    return (
+        "SELECT array_to_string(regexp_extract_all(trim(text), '\\S+')[1:3], ' ') AS dedup_key, "
+        "count(*)::BIGINT AS dup_count, min(doc_id) AS keep_doc_id "
+        "FROM documents GROUP BY dedup_key"
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"))
+    )
+
+
+def q_latest_event_per_user_sql():
+    return (
+        "SELECT user_id, event_id AS last_event_id FROM ("
+        "SELECT user_id, event_id, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events"
+        ") WHERE rn = 1"
+    )
+
+
+def q_lineage_buckets(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("part_key", F.pmod(F.col("doc_id"), F.lit(16)))
+        .groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def q_lineage_buckets_sql():
+    return (
+        "SELECT doc_id % 16 AS part_key, count(*)::BIGINT AS docs, "
+        "sum(n_chars)::BIGINT AS chars FROM documents GROUP BY part_key"
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_pricing_summary_sql():
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_discount), 4) AS avg_disc, "
+        "count(*)::BIGINT AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def q_supplier_revenue(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    # the dimension is tiny: broadcast to avoid a shuffle of the fact side
+    return rev.join(
+        F.broadcast(sup), rev.l_suppkey == sup.s_suppkey, "inner"
+    ).select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"), "revenue")
+
+
+def q_supplier_revenue_sql():
+    return (
+        "SELECT s_suppkey AS suppkey, s_name AS name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "GROUP BY s_suppkey, s_name"
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_events_hourly_sql():
+    return (
+        "SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events, "
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1"
+    )
+
+
+# --- 3. training-data ops ----------------------------------------------------
+
+
+def q_token_stats(spark, sf_dir):
+    text = F.trim(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(text, r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|\S"), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def q_token_stats_sql():
+    return (
+        "SELECT doc_id, len(regexp_extract_all(trim(text), '\\S+'))::BIGINT AS ws_tokens, "
+        "len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|\\S'))::BIGINT AS bpe_tokens "
+        "FROM documents"
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    text = F.col("text")
+    alpha = F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), F.lit(0)))
+    spaces = F.size(F.regexp_extract_all(text, F.lit(" "), F.lit(0)))
+    stops = F.size(
+        F.regexp_extract_all(text, F.lit(r"\b(the|a|of|and|to)\b"), F.lit(0))
+    )
+    toks = F.size(F.split(F.trim(text), r"\s+"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(alpha / F.length(text), 4).alias("alpha_ratio"),
+        F.round(spaces / F.length(text), 4).alias("space_ratio"),
+        F.round(stops / toks, 4).alias("stop_ratio"),
+    )
+
+
+def q_quality_score_sql():
+    return (
+        "SELECT doc_id, "
+        "round(len(regexp_extract_all(text, '[A-Za-z]')) / length(text), 4) AS alpha_ratio, "
+        "round(len(regexp_extract_all(text, ' ')) / length(text), 4) AS space_ratio, "
+        "round(len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) / "
+        "len(regexp_extract_all(trim(text), '\\S+')), 4) AS stop_ratio "
+        "FROM documents"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    text = F.col("text")
+    s_en = F.size(F.regexp_extract_all(text, F.lit(r"\b(the|and|of|scan)\b"), F.lit(0)))
+    s_de = F.size(F.regexp_extract_all(text, F.lit(r"\b(der|die|das|und)\b"), F.lit(0)))
+    s_es = F.size(F.regexp_extract_all(text, F.lit(r"\b(el|la|los|y)\b"), F.lit(0)))
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_es), F.lit("en"))
+        .when(s_de >= s_es, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return _docs(spark, sf_dir).select("doc_id", pred.alias("pred_lang"))
+
+
+def q_lang_id_sql():
+    return (
+        "SELECT doc_id, CASE "
+        "WHEN len(regexp_extract_all(text, '\\b(the|and|of|scan)\\b')) >= "
+        "len(regexp_extract_all(text, '\\b(der|die|das|und)\\b')) AND "
+        "len(regexp_extract_all(text, '\\b(the|and|of|scan)\\b')) >= "
+        "len(regexp_extract_all(text, '\\b(el|la|los|y)\\b')) THEN 'en' "
+        "WHEN len(regexp_extract_all(text, '\\b(der|die|das|und)\\b')) >= "
+        "len(regexp_extract_all(text, '\\b(el|la|los|y)\\b')) THEN 'de' "
+        "ELSE 'es' END AS pred_lang FROM documents"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.encode(normalized, "UTF-8")).alias("fp")
+    )
+
+
+def q_fingerprint_sql():
+    return (
+        "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp "
+        "FROM documents"
+    )
+
+
+def _minhash_sig(spark, sf_dir) -> DataFrame:
+    """MinHash signatures over token 3-gram shingles (md5 hash family)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    docs = docs.filter(F.size("t") >= 3)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.col("shingle"), F.lit(f"#{k}")), "UTF-8"))).alias(
+            f"mh{k}"
+        )
+        for k in range(1, 5)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_SQL_BODY = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents), "
+    "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM toks WHERE len(t) >= 3), "
+    "sig AS (SELECT doc_id, min(md5(shingle||'#1')) AS mh1, min(md5(shingle||'#2')) AS mh2, "
+    "min(md5(shingle||'#3')) AS mh3, min(md5(shingle||'#4')) AS mh4 FROM sh GROUP BY doc_id) "
+)
+
+
+def q_minhash_sig(spark, sf_dir):
+    return _minhash_sig(spark, sf_dir)
+
+
+def q_minhash_sig_sql():
+    return _MINHASH_SQL_BODY + "SELECT doc_id, mh1, mh2, mh3, mh4 FROM sig"
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 2 bands x 2 rows; a pair is a
+    candidate when it collides in either band (bucket-join, no n^2 scan)."""
+    sig = _minhash_sig(spark, sf_dir)
+    banded = sig.select(
+        "doc_id",
+        F.md5(F.concat("mh1", "mh2")).alias("b1"),
+        F.md5(F.concat("mh3", "mh4")).alias("b2"),
+    )
+    bands = banded.select(
+        "doc_id", F.explode(F.array(F.col("b1"), F.col("b2"))).alias("band")
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(right, F.col("a.band") == F.col("b.band"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def q_lsh_pairs_sql():
+    return (
+        _MINHASH_SQL_BODY
+        + ", bands AS (SELECT doc_id, unnest([md5(mh1||mh2), md5(mh3||mh4)]) AS band FROM sig) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id"
+    )
+
+
+def q_jaccard_adjacent(spark, sf_dir):
+    """Exact n-gram Jaccard between consecutive doc ids (token unigram sets)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    joined = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return joined.select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+def q_jaccard_adjacent_sql():
+    return (
+        "WITH toks AS (SELECT doc_id, list_distinct(regexp_extract_all(trim(text), '\\S+')) AS t "
+        "FROM documents) "
+        "SELECT a.doc_id AS doc_id, "
+        "round(len(list_intersect(a.t, b.t)) / len(list_distinct(a.t || b.t)), 4) AS jaccard "
+        "FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1"
+    )
+
+
+_COSINE_EXPR = (
+    "aggregate(zip_with(qv, nv, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(transform(qv, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v)) * "
+    "sqrt(aggregate(transform(nv, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v)))"
+)
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for the first 10 query vectors. The dot
+    product runs JVM-side via higher-order functions (zip_with/aggregate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    # the query side is tiny -> broadcast; candidate side streams
+    pairs = n.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.expr(_COSINE_EXPR).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
+def q_ann_topk_sql():
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10), "
+        "n AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings), "
+        "scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim "
+        "FROM q, n WHERE neighbor_id != query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(sim, 4) AS sim "
+        "FROM ranked WHERE rank <= 3"
+    )
+
+
+def q_ann_ivf_label(spark, sf_dir):
+    """IVF-style ANN: the label column is the coarse quantizer — search
+    only within the query's bucket (the 100 TB scale path: a bucket join
+    instead of a full cross join)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("nlabel"),
+    )
+    pairs = n.join(F.broadcast(q), F.col("nlabel") == F.col("qlabel")).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select("query_id", "neighbor_id", F.expr(_COSINE_EXPR).alias("sim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
+def q_ann_ivf_label_sql():
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel "
+        "FROM embeddings WHERE vec_id < 10), "
+        "n AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv, label AS nlabel FROM embeddings), "
+        "scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim "
+        "FROM q JOIN n ON nlabel = qlabel WHERE neighbor_id != query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(sim, 4) AS sim "
+        "FROM ranked WHERE rank <= 3"
+    )
+
+
+_MM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("head_byte", T.IntegerType(), True),
+    ]
+)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: treat a binary payload as an opaque blob and
+    run a (stubbed) decode/feature pass in mapInPandas. The real decode
+    (image/audio libs) is deliberately stubbed; schema, batching, and
+    partitioning are the real thing."""
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sizes, heads = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                ids.append(doc_id)
+                if payload is None:
+                    sizes.append(0)
+                    heads.append(None)
+                    continue
+                data = bytes(payload)
+                sizes.append(len(data))
+                heads.append(int(data[0]) if data else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "head_byte": pd.Series(heads, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(decode_stub, _MM_SCHEMA)
+
+
+def q_multimodal_meta_sql():
+    return (
+        "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
+        "ascii(substring(text, 1, 1))::INTEGER AS head_byte FROM documents"
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash over tokens via xxhash64 bit votes (Spark-only;
+    xxhash64 has no DuckDB twin -> rows-only check)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    hashed = docs.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)  # 16 bits keeps the agg narrow; same pattern scales to 64
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(16):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
+QUERIES = {
+    "xpath_title": q_xpath_title,
+    "xpath_token_count": q_xpath_token_count,
+    "css_lang_attr": q_css_lang_attr,
+    "beautify_xml": q_beautify_xml,
+    "xml2json_doc": q_xml2json_doc,
+    "detect_format": q_detect_format,
+    "host_topk": q_host_topk,
+    "dedup_groups": q_dedup_groups,
+    "latest_event_per_user": q_latest_event_per_user,
+    "lineage_buckets": q_lineage_buckets,
+    "pricing_summary": q_pricing_summary,
+    "supplier_revenue": q_supplier_revenue,
+    "events_hourly": q_events_hourly,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "minhash_sig": q_minhash_sig,
+    "lsh_pairs": q_lsh_pairs,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "ann_topk": q_ann_topk,
+    "ann_ivf_label": q_ann_ivf_label,
+    "multimodal_meta": q_multimodal_meta,
+    "simhash": q_simhash,
+}
+
+ORACLES = {
+    "xpath_title": q_xpath_title_sql(),
+    "xpath_token_count": q_xpath_token_count_sql(),
+    "css_lang_attr": q_css_lang_attr_sql(),
+    "beautify_xml": q_beautify_xml_sql(),
+    "xml2json_doc": q_xml2json_doc_sql(),
+    "detect_format": q_detect_format_sql(),
+    "host_topk": q_host_topk_sql(),
+    "dedup_groups": q_dedup_groups_sql(),
+    "latest_event_per_user": q_latest_event_per_user_sql(),
+    "lineage_buckets": q_lineage_buckets_sql(),
+    "pricing_summary": q_pricing_summary_sql(),
+    "supplier_revenue": q_supplier_revenue_sql(),
+    "events_hourly": q_events_hourly_sql(),
+    "token_stats": q_token_stats_sql(),
+    "quality_score": q_quality_score_sql(),
+    "lang_id": q_lang_id_sql(),
+    "fingerprint": q_fingerprint_sql(),
+    "minhash_sig": q_minhash_sig_sql(),
+    "lsh_pairs": q_lsh_pairs_sql(),
+    "jaccard_adjacent": q_jaccard_adjacent_sql(),
+    "ann_topk": q_ann_topk_sql(),
+    "ann_ivf_label": q_ann_ivf_label_sql(),
+    "multimodal_meta": q_multimodal_meta_sql(),
+    # "simhash" is deliberately absent: xxhash64 has no SQL twin (rows-only)
+}
