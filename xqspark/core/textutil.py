@@ -48,6 +48,8 @@ def _is_go_space(ch: str) -> bool:
 
 def go_trim_space(s: str) -> str:
     """Go strings.TrimSpace."""
+    if s == "" or (not _is_go_space(s[0]) and not _is_go_space(s[-1])):
+        return s
     start = 0
     end = len(s)
     while start < end and _is_go_space(s[start]):
@@ -78,6 +80,8 @@ def escape_text(s: str) -> str:
       \t -> &#x9;   \n -> \n (round-trips)   \r -> &#xD;
       chars outside the XML Char range -> U+FFFD
     """
+    if _ESCAPE_NEEDED.search(s) is None:
+        return s
     out = []
     for ch in s:
         if ch == '"':
@@ -102,6 +106,13 @@ def escape_text(s: str) -> str:
             out.append(ch)
     return "".join(out)
 
+
+# chars escape_text passes through unchanged: \n, printable ASCII minus
+# " & ' < >, and the XML Char ranges above ASCII
+_ESCAPE_NEEDED = re.compile(
+    "[^\n\x20\x21\x23-\x25\x28-\x3b\x3d\x3f-퟿-�"
+    "\U00010000-\U0010ffff]"
+)
 
 _RE_HEAD = re.compile(r"^ *\n +")
 _RE_TAIL = re.compile(r"\n +$")

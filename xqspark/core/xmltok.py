@@ -34,6 +34,16 @@ class XmlSyntaxError(ValueError):
     """Equivalent of Go xml.SyntaxError — malformed input."""
 
 
+import re as _re
+
+_STOP_TEXT = _re.compile(r"[<&]")
+_STOP_DQUOTE = _re.compile(r'[<&"]')
+_STOP_SQUOTE = _re.compile(r"[<&']")
+# ASCII fast path for XML names; the slow unicode loop extends it
+_NAME_RE = _re.compile(r"[A-Za-z_:][A-Za-z0-9_:.\-]*")
+_SPACE_RE = _re.compile(r"[ \t\r\n]*")
+
+
 @dataclass
 class Name:
     space: str
@@ -132,39 +142,67 @@ class GoXmlTokenizer:
         return self.s[self.pos]
 
     def _skip_space(self) -> None:
-        while self.pos < self.n and self.s[self.pos] in " \t\r\n":
-            self.pos += 1
+        self.pos = _SPACE_RE.match(self.s, self.pos).end()
 
     def _read_raw_name(self) -> str:
         start = self.pos
-        if self.pos >= self.n or not _is_name_start(self.s[self.pos]):
-            raise XmlSyntaxError("invalid XML name")
-        self.pos += 1
-        while self.pos < self.n and _is_name_char(self.s[self.pos]):
+        m = _NAME_RE.match(self.s, start)
+        if m is not None:
+            self.pos = m.end()
+        else:
+            if self.pos >= self.n or not _is_name_start(self.s[self.pos]):
+                raise XmlSyntaxError("invalid XML name")
+            self.pos += 1
+        # extend through any non-ASCII name characters (rare path)
+        while self.pos < self.n:
+            ch = self.s[self.pos]
+            if ch.isascii() or not _is_name_char(ch):
+                break
             self.pos += 1
         return self.s[start:self.pos]
 
     # ---- entity-aware text scanning (Go Decoder.text) ----
 
     def _text(self, quote: str | None, cdata: bool) -> str:
-        """Read character data up to '<' (or closing quote / ``]]>``)."""
-        out: list[str] = []
+        """Read character data up to '<' (or closing quote / ``]]>``).
+
+        Bulk slice scanning (str.find over a stop set) instead of a
+        char-at-a-time loop — this is the hottest path per document.
+        """
         s, n = self.s, self.n
+        if cdata:
+            idx = s.find("]]>", self.pos)
+            if idx == -1:
+                raise XmlSyntaxError("unexpected EOF in CDATA section")
+            text = s[self.pos:idx]
+            self.pos = idx + 3
+            return _rewrite_crlf(text)
+
+        out: list[str] = []
+        if quote is None:
+            stop_re = _STOP_TEXT
+        elif quote == '"':
+            stop_re = _STOP_DQUOTE
+        else:
+            stop_re = _STOP_SQUOTE
+        check_cdata_end = self.strict and quote is None
         while True:
+            # bulk-copy until the next character that needs a decision
+            start = self.pos
+            m = stop_re.search(s, start)
+            i = m.start() if m else n
+            if check_cdata_end:
+                j = s.find("]]>", start, i)
+                if j != -1:
+                    raise XmlSyntaxError("unescaped ]]> not in CDATA section")
+            if i > start:
+                out.append(s[start:i])
+                self.pos = i
             if self.pos >= n:
-                if cdata:
-                    raise XmlSyntaxError("unexpected EOF in CDATA section")
                 if quote is not None:
                     raise XmlSyntaxError("unexpected EOF in attribute value")
                 break
             ch = s[self.pos]
-            if cdata:
-                if s.startswith("]]>", self.pos):
-                    self.pos += 3
-                    break
-                out.append(ch)
-                self.pos += 1
-                continue
             if ch == "<":
                 if quote is not None:
                     # Not gated on Strict in Go (encoding/xml text()).
@@ -173,17 +211,8 @@ class GoXmlTokenizer:
             if quote is not None and ch == quote:
                 self.pos += 1
                 break
-            if ch == "]" and quote is None and s.startswith("]]>", self.pos):
-                if self.strict:
-                    raise XmlSyntaxError("unescaped ]]> not in CDATA section")
-                out.append(ch)
-                self.pos += 1
-                continue
-            if ch == "&":
-                out.append(self._entity())
-                continue
-            out.append(ch)
-            self.pos += 1
+            # ch == "&"
+            out.append(self._entity())
         return _rewrite_crlf("".join(out))
 
     def _entity(self) -> str:

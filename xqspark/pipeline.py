@@ -153,8 +153,13 @@ def extract_pages(
     """
     df = with_part_key(with_host_salt(pages, salts), n_buckets)
     df = df.select("url", "html", "host", "salt", "part_key")
-    nparts = repartition_to or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    df = df.repartition(int(nparts), "host", "salt")
+    if repartition_to is None or repartition_to > 0:
+        nparts = repartition_to or df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        df = df.repartition(int(nparts), "host", "salt")
+    # repartition_to == 0: caller already partitioned the input (e.g. the
+    # steady-state bench times the UDF stage without the one-time exchange)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         extractor = _make_extractor(mode, query, indent)
@@ -253,7 +258,11 @@ def run_with_resume(
 
 
 def synthesize_pages(
-    spark: SparkSession, n_rows: int = 10000, n_hosts: int = 100, seed: int = 42
+    spark: SparkSession,
+    n_rows: int = 10000,
+    n_hosts: int = 100,
+    seed: int = 42,
+    body_repeats: int = 1,
 ) -> DataFrame:
     """Seed-fixed Common-Crawl-shaped pages with a Zipf-skewed host
     distribution (a few hosts own most rows) so salting is exercised."""
@@ -276,19 +285,25 @@ def synthesize_pages(
 
     df = spark.range(n_rows).withColumn("h", when_host)
     body_word = F.concat(F.lit("w"), F.pmod(F.col("id"), F.lit(97)).cast("string"))
-    html = F.concat(
-        F.lit('<?xml version="1.0"?>\n<page id="'),
-        F.col("id").cast("string"),
-        F.lit('"><title>Page '),
-        F.col("id").cast("string"),
-        F.lit("</title><body><p>"),
+    paragraph = F.concat(
+        F.lit("<p>"),
         F.concat_ws(
             " ",
             body_word,
             F.lit("lorem ipsum dolor"),
             F.concat(F.lit("tok"), F.pmod(F.col("id") * 31, F.lit(1009)).cast("string")),
         ),
-        F.lit("</p></body></page>"),
+        F.lit("</p>"),
+    )
+    body = F.repeat(paragraph, body_repeats) if body_repeats > 1 else paragraph
+    html = F.concat(
+        F.lit('<?xml version="1.0"?>\n<page id="'),
+        F.col("id").cast("string"),
+        F.lit('"><title>Page '),
+        F.col("id").cast("string"),
+        F.lit("</title><body>"),
+        body,
+        F.lit("</body></page>"),
     )
     return df.select(
         F.concat(
