@@ -1,0 +1,66 @@
+"""Structured Streaming extraction tests: file-drop source -> extract ->
+exactly-once parquet sink with checkpoint; windowed lineage with watermark."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from xqspark.pipeline import build_session, synthesize_pages
+from xqspark.streaming import read_pages_stream, run_stream_to_parquet, windowed_lineage
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(cpus=4, app="xq-streaming-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_stream_extraction_end_to_end(spark):
+    base = tempfile.mkdtemp(prefix="xq_stream_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    try:
+        pages = synthesize_pages(spark, n_rows=200, n_hosts=10)
+        pages.write.parquet(src)
+
+        stream = read_pages_stream(spark, src)
+        assert stream.isStreaming
+        q = run_stream_to_parquet(stream, out, ckpt)
+        q.awaitTermination(120)
+
+        result = spark.read.parquet(out)
+        assert result.count() == 200
+        row = result.filter("url like '%/p7'").collect()[0]
+        assert row["extracted"] == "Page 7\n"
+        assert row["error"] is None
+
+        # restart with no new files: checkpoint prevents reprocessing
+        q2 = run_stream_to_parquet(read_pages_stream(spark, src), out, ckpt)
+        q2.awaitTermination(60)
+        assert spark.read.parquet(out).count() == 200
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_windowed_lineage_plan(spark):
+    base = tempfile.mkdtemp(prefix="xq_wl_")
+    try:
+        src = f"{base}/src"
+        synthesize_pages(spark, n_rows=100, n_hosts=5).write.parquet(src)
+        stream = read_pages_stream(spark, src)
+        lin = windowed_lineage(stream, None, window="1 hour", watermark="2 hours")
+        assert lin.isStreaming
+        q = (
+            lin.writeStream.format("memory")
+            .queryName("lineage_mem")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from lineage_mem").collect()
+        assert sum(r["docs"] for r in rows) == 100
+        assert all(r["bytes"] > 0 for r in rows)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
