@@ -1,0 +1,70 @@
+"""Catalyst plan-quality assertions: pushdown, pruning, broadcast, and
+shuffle counts — the plans we WANT at 100 TB, checked at test scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xqspark.pipeline import build_session, extract_pages, synthesize_pages
+from xqspark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(cpus=4, app="xq-plan-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = explain_str(q)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+    # the heavy text column must not be read
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read_schema
+
+
+def test_broadcast_join_for_small_dimension(spark):
+    df = QUERIES["supplier_revenue"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_ann_broadcasts_query_side(spark):
+    df = QUERIES["ann_topk"](spark, SF_DIR)
+    assert "Broadcast" in plan_of(df)
+
+
+def test_extraction_has_exactly_one_exchange(spark):
+    pages = synthesize_pages(spark, n_rows=100, n_hosts=5)
+    extracted = extract_pages(pages, mode="xpath", query="//title")
+    plan = plan_of(extracted)
+    assert plan.count("Exchange") == 1  # only the salted repartition
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_lineage_partial_aggregation(spark):
+    from xqspark.pipeline import lineage
+    pages = synthesize_pages(spark, n_rows=100, n_hosts=5)
+    lin = lineage(extract_pages(pages, mode="xpath", query="//title"))
+    plan = plan_of(lin)
+    # partial + final hash aggregate around the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_on_relational_path(spark):
+    df = QUERIES["pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan on execution
+    assert "WholeStageCodegen" in plan_of(df)
