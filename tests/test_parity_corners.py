@@ -1,0 +1,131 @@
+"""Reference-parity corners: indent variants, scalar printing, JSON quoting,
+xml2json coalescing — each pinned to cited reference behavior."""
+
+import pytest
+
+from xqspark.core.api import beautify, css_query, to_json, xpath_query
+from xqspark.core.fmt_json import format_json, format_value
+from xqspark.core.fmt_xml import format_xml
+from xqspark.core.fmt_html import format_html
+from xqspark.core.textutil import go_quote
+from xqspark.core.dom import parse_dom
+from xqspark.core.xml2json import node_to_json
+
+
+# -- indent variants (cmd/root.go:179-202) --
+
+def test_indent_zero_xml():
+    # indent "" -> newline "" (utils.go:56-59): single line + trailing \n
+    assert format_xml("<a><b>x</b></a>", "") == "<a><b>x</b></a>\n"
+
+def test_indent_zero_html():
+    assert format_html("<p><b>x</b></p>", "") == "<p><b>x</b></p>\n"
+
+def test_indent_zero_json():
+    assert format_json('{"a": [1, 2]}', "") == '{"a": [1,2]}\n'
+
+def test_tab_indent():
+    assert format_xml("<a><b>x</b></a>", "\t") == "<a>\n\t<b>x</b>\n</a>\n"
+
+def test_indent_4():
+    assert format_xml("<a><b>x</b></a>", "    ") == "<a>\n    <b>x</b>\n</a>\n"
+
+
+# -- XPath scalar printing (utils.go:246-263) --
+
+def test_number_result_rounding():
+    # %.0f: round-half-even (Go fmt)
+    assert xpath_query("<a/>", "2.5") == "2\n"
+    assert xpath_query("<a/>", "3.5") == "4\n"
+    assert xpath_query("<a/>", "1 div 0") == "+Inf\n"
+
+def test_string_result_trimmed():
+    assert xpath_query("<a>  pad  </a>", "string(/a)") == "pad\n"
+
+def test_nodeset_one_line_per_node():
+    out = xpath_query("<a><b> x </b><b>y</b></a>", "//b")
+    assert out == "x\ny\n"
+
+def test_extract_no_match_empty():
+    assert xpath_query("<a/>", "//missing", single_node=True) == ""
+
+def test_node_mode_multi():
+    out = xpath_query("<a><b>1</b><b>2</b></a>", "//b", with_tags=True)
+    assert out == "<b>1</b>\n<b>2</b>\n"
+
+def test_node_mode_nested_reformat():
+    out = xpath_query("<a><b><c>x</c></b></a>", "//b", with_tags=True)
+    assert out == "<b>\n  <c>x</c>\n</b>\n"
+
+
+# -- CSS modes (utils.go:283-315) --
+
+def test_css_attr_missing_default_empty():
+    out = css_query("<p><a>x</a></p>", "a", attr="href")
+    assert out == "\n"  # AttrOr default "" + newline
+
+def test_css_node_mode_nested():
+    out = css_query("<div><ul><li>a</li></ul></div>", "ul", with_tags=True)
+    assert out == "<ul>\n  <li>a</li>\n</ul>\n"
+
+def test_css_text_concatenation():
+    # Selection.Text(): all descendant text, trimmed once
+    out = css_query("<div> x <b>y</b> z </div>", "div")
+    assert out == "x y z\n"
+
+
+# -- Go strconv.Quote (utils.go:505,570) --
+
+@pytest.mark.parametrize("raw,quoted", [
+    ("plain", '"plain"'),
+    ('say "hi"', '"say \\"hi\\""'),
+    ("tab\there", '"tab\\there"'),
+    ("bell\x07", '"bell\\a"'),
+    ("nul\x00", '"nul\\x00"'),
+    ("emoji 😀", '"emoji 😀"'),       # printable unicode raw
+    ("soft\xadhyphen", '"soft\\u00adhyphen"'),  # Cf category escaped
+    ("line sep", '"line\\u2028sep"'),
+])
+def test_go_quote(raw, quoted):
+    assert go_quote(raw) == quoted
+
+
+def test_json_number_lexeme_preserved():
+    assert format_json('{"a": 100.320, "b": 1e5}') == '{\n  "a": 100.320,\n  "b": 1e5\n}\n'
+
+
+def test_json_multiple_top_level_values():
+    # Go FormatJson loops tokens until EOF: values concatenate
+    assert format_json("{} []") == "{}[]\n"
+
+
+# -- xml2json corners (jsonutil.go) --
+
+def test_repeated_keys_coalesce():
+    doc = parse_dom("<r><x>1</x><x>2</x><x>3</x></r>", strict=True)
+    assert node_to_json(doc, -1) == {"r": {"x": ["1", "2", "3"]}}
+
+def test_attrs_and_text():
+    doc = parse_dom('<r a="v">hello</r>', strict=True)
+    assert node_to_json(doc, -1) == {"r": {"@a": "v", "#text": "hello"}}
+
+def test_depth_zero():
+    doc = parse_dom("<r><a>1</a><b>2</b></r>", strict=True)
+    assert node_to_json(doc.children[0], 0) == "1\n2"
+
+def test_to_json_plain_text_detected_as_xml():
+    # detectFormat only yields ContentText on a read error (empty input);
+    # plain words go down the XML path -> document-level "#text"
+    # (cmd/root.go:247-270 + jsonutil.go:45-47)
+    assert to_json("plain words here") == '{\n  "#text": "plain words here"\n}\n'
+
+def test_to_json_compact_sorted_keys():
+    out = to_json("<r><z>1</z><a>2</a></r>", compact=True)
+    assert out == '{"r": {"a": "2","z": "1"}}\n'
+
+
+# -- detect + beautify dispatch (cmd/root.go:247-294) --
+
+def test_force_html_on_xml():
+    out = beautify("<a><b>x</b></a>", force_html=True)
+    assert out == "<a>\n  <b>x</b>\n</a>\n"
