@@ -80,23 +80,25 @@ class DomNode:
     # -- traversal helpers --
 
     def iter_descendants(self):
-        for child in self.children:
-            yield child
-            yield from child.iter_descendants()
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node
+            if node.children:
+                stack.extend(reversed(node.children))
 
     def inner_text(self) -> str:
+        if self.type == TEXT:
+            return self.data
         parts: list[str] = []
-
-        def walk(n: DomNode) -> None:
-            if n.type == TEXT:
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            t = n.type
+            if t == TEXT:
                 parts.append(n.data)
-            elif n.type == COMMENT:
-                return
-            else:
-                for c in n.children:
-                    walk(c)
-
-        walk(self)
+            elif t != COMMENT and n.children:
+                stack.extend(reversed(n.children))
         return "".join(parts)
 
     def full_name(self) -> str:

@@ -43,8 +43,21 @@ _STOP_SQUOTE = _re.compile(r"[<&']")
 _NAME_RE = _re.compile(r"[A-Za-z_:][A-Za-z0-9_:.\-]*")
 _SPACE_RE = _re.compile(r"[ \t\r\n]*")
 
+# One-regex fast path for the overwhelmingly common tag shapes: ASCII
+# unprefixed names, double-quoted attribute values with no entities, no
+# CR. Anything else (prefixes, single quotes, entities, unquoted values,
+# malformed) falls back to the general Go-faithful parser at the same
+# position, so semantics are unchanged.
+_FAST_TAG = _re.compile(
+    r"<([A-Za-z_][A-Za-z0-9_.\-]*)"
+    r"((?:[ \t\n]+[A-Za-z_][A-Za-z0-9_.\-]*=\"[^\"&<\r]*\")*)"
+    r"[ \t\n]*(/?)>"
+)
+_FAST_ATTR = _re.compile(r"([A-Za-z_][A-Za-z0-9_.\-]*)=\"([^\"]*)\"")
+_FAST_END = _re.compile(r"</([A-Za-z_][A-Za-z0-9_.\-]*)[ \t\r\n]*>")
 
-@dataclass
+
+@dataclass(slots=True)
 class Name:
     space: str
     local: str
@@ -54,41 +67,41 @@ class Name:
         return (self.space, self.local)
 
 
-@dataclass
+@dataclass(slots=True)
 class Attr:
     name: Name
     value: str
 
 
-@dataclass
+@dataclass(slots=True)
 class ProcInst:
     target: str
     inst: str
 
 
-@dataclass
+@dataclass(slots=True)
 class StartElement:
     name: Name
     attrs: list[Attr] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class EndElement:
     name: Name
 
 
-@dataclass
+@dataclass(slots=True)
 class CharData:
     text: str
     cdata: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class Comment:
     text: str
 
 
-@dataclass
+@dataclass(slots=True)
 class Directive:
     text: str
 
@@ -285,6 +298,21 @@ class GoXmlTokenizer:
             return Name(self.ns[space], local, prefix=name.prefix)
         return Name(space, local, prefix=name.prefix)
 
+    def _push_element_fast(self, tok: StartElement) -> StartElement:
+        """Regex-fast-path variant: element and attr spaces are all ""
+        by construction, so only the default-ns binding and (when any ns
+        is in scope) the element-name translation apply."""
+        saved: list[tuple[str, str | None]] = []
+        ns = self.ns
+        for attr in tok.attrs:
+            if attr.name.local == "xmlns":
+                saved.append(("", ns.get("")))
+                ns[""] = attr.value
+        if ns:
+            tok.name = self._translate(tok.name, True)
+        self.stack.append((tok.name, saved))
+        return tok
+
     def _push_element(self, tok: StartElement) -> StartElement:
         saved: list[tuple[str, str | None]] = []
         for attr in tok.attrs:
@@ -340,6 +368,33 @@ class GoXmlTokenizer:
                 text = self._text(None, False)
                 if text != "":
                     yield CharData(text)
+                continue
+            # fast path: simple start / end tags via one regex each
+            m = _FAST_TAG.match(self.s, self.pos)
+            if m is not None:
+                self.pos = m.end()
+                attrs_raw = m.group(2)
+                attrs = (
+                    [Attr(Name("", k), v) for k, v in _FAST_ATTR.findall(attrs_raw)]
+                    if attrs_raw
+                    else []
+                )
+                start_tok = self._push_element_fast(
+                    StartElement(Name("", m.group(1)), attrs)
+                )
+                yield start_tok
+                if m.group(3):  # self-closing
+                    results = self._pop_element(EndElement(Name("", m.group(1))))
+                    self._pending.extend(results[1:])
+                    yield results[0]
+                continue
+            m = _FAST_END.match(self.s, self.pos)
+            if m is not None:
+                self.pos = m.end()
+                end = EndElement(self._translate(Name("", m.group(1)), True))
+                results = self._pop_element(end)
+                self._pending.extend(results[1:])
+                yield results[0]
                 continue
             self.pos += 1  # consume '<'
             ch = self._getc()
