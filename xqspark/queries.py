@@ -136,6 +136,158 @@ def q_xml2json_doc_sql():
     )
 
 
+def q_xpath_count(spark, sf_dir):
+    """count() scalar printing: %.0f (utils.go:248). Payload has
+    doc_id % 5 + 1 <li> elements."""
+    from xqspark.udfs import make_xpath_output_udf
+
+    udf = make_xpath_output_udf("count(//li)")
+    li = F.repeat(F.lit("<li>x</li>"), (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"))
+    html = F.concat(F.lit("<ul>"), li, F.lit("</ul>"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(udf(html.cast("binary")), "\\n$", "").cast("long").alias("n_li"),
+    )
+
+
+def q_xpath_count_sql():
+    return "SELECT doc_id, (doc_id % 5 + 1)::BIGINT AS n_li FROM documents"
+
+
+def q_xpath_boolean(spark, sf_dir):
+    """boolean() printing: true|false (utils.go:250)."""
+    from xqspark.udfs import make_xpath_output_udf
+
+    udf = make_xpath_output_udf("boolean(//title)")
+    html = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(F.lit("<doc><title>"), F.col("source"), F.lit("</title></doc>")),
+    ).otherwise(F.lit("<doc><other/></doc>"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace(udf(html.cast("binary")), "\\n$", "").alias("has_title")
+    )
+
+
+def q_xpath_boolean_sql():
+    return (
+        "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END "
+        "AS has_title FROM documents"
+    )
+
+
+def q_xpath_node_mode(spark, sf_dir):
+    """-x QUERY -n: matched node re-serialized through FormatXml
+    (printNodeContent, utils.go:273-277)."""
+    from xqspark.udfs import make_xpath_output_udf
+
+    udf = make_xpath_output_udf("//title", single=True, with_tags=True)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(udf(_page_html().cast("binary")), "\\n$", "").alias("node_out"),
+    )
+
+
+def q_xpath_node_mode_sql():
+    return (
+        "SELECT doc_id, '<title>' || source || '</title>' AS node_out FROM documents"
+    )
+
+
+def q_css_node_mode(spark, sf_dir):
+    """-q SEL -n: outer HTML rebuilt + FormatHtml (utils.go:293-307)."""
+    from xqspark.udfs import make_css_output_udf
+
+    udf = make_css_output_udf("body > p", with_tags=True)
+    html = F.concat(
+        F.lit('<html><body><p class="c">'),
+        F.col("source"),
+        F.lit("</p></body></html>"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(udf(html.cast("binary")), "\\n$", "").alias("node_out"),
+    )
+
+
+def q_css_node_mode_sql():
+    return (
+        "SELECT doc_id, '<p class=\"c\">' || source || '</p>' AS node_out "
+        "FROM documents"
+    )
+
+
+def q_beautify_html(spark, sf_dir):
+    from xqspark.udfs import make_format_html_udf
+
+    udf = make_format_html_udf("  ")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.trim(F.col("text")), F.lit("</p></body></html>")
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", udf(html.cast("binary")).alias("pretty")
+    )
+
+
+def q_beautify_html_sql():
+    return (
+        "SELECT doc_id, "
+        "'<html>' || chr(10) || '  <body>' || chr(10) || '    <p>' || trim(text) "
+        "|| '</p>' || chr(10) || '  </body>' || chr(10) || '</html>' || chr(10) "
+        "AS pretty FROM documents"
+    )
+
+
+def q_beautify_json(spark, sf_dir):
+    from xqspark.udfs import make_format_json_udf
+
+    udf = make_format_json_udf("  ")
+    payload = F.concat(
+        F.lit('{"src": "'),
+        F.col("source"),
+        F.lit('", "chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit(', "ratio": 10.250, "ok": true, "none": null}'),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", udf(payload.cast("binary")).alias("pretty")
+    )
+
+
+def q_beautify_json_sql():
+    # number lexemes preserved verbatim (10.250 stays 10.250, utils.go:449)
+    return (
+        "SELECT doc_id, "
+        "'{' || chr(10) || '  \"src\": \"' || source || '\",' || chr(10) || "
+        "'  \"chars\": ' || n_chars || ',' || chr(10) || "
+        "'  \"ratio\": 10.250,' || chr(10) || '  \"ok\": true,' || chr(10) || "
+        "'  \"none\": null' || chr(10) || '}' || chr(10) AS pretty FROM documents"
+    )
+
+
+def q_charset_decl(spark, sf_dir):
+    """Vectorized xml-decl charset sniff (S2 analog, utils.go:708-717)."""
+    from xqspark.udfs import declared_charset_col
+
+    enc = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("windows-1251"))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("UTF-8"))
+        .otherwise(F.lit("iso-8859-1"))
+    )
+    payload = F.concat(
+        F.lit('<?xml version="1.0" encoding="'), enc, F.lit('"?><a/>')
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", declared_charset_col(payload).alias("charset")
+    )
+
+
+def q_charset_decl_sql():
+    return (
+        "SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'windows-1251' "
+        "WHEN 1 THEN 'UTF-8' ELSE 'iso-8859-1' END AS charset FROM documents"
+    )
+
+
 def q_detect_format(spark, sf_dir):
     from xqspark.udfs import content_type_col
 
@@ -654,10 +806,17 @@ def q_simhash(spark, sf_dir):
 QUERIES = {
     "xpath_title": q_xpath_title,
     "xpath_token_count": q_xpath_token_count,
+    "xpath_count": q_xpath_count,
+    "xpath_boolean": q_xpath_boolean,
+    "xpath_node_mode": q_xpath_node_mode,
     "css_lang_attr": q_css_lang_attr,
+    "css_node_mode": q_css_node_mode,
     "beautify_xml": q_beautify_xml,
+    "beautify_html": q_beautify_html,
+    "beautify_json": q_beautify_json,
     "xml2json_doc": q_xml2json_doc,
     "detect_format": q_detect_format,
+    "charset_decl": q_charset_decl,
     "host_topk": q_host_topk,
     "dedup_groups": q_dedup_groups,
     "latest_event_per_user": q_latest_event_per_user,
@@ -681,10 +840,17 @@ QUERIES = {
 ORACLES = {
     "xpath_title": q_xpath_title_sql(),
     "xpath_token_count": q_xpath_token_count_sql(),
+    "xpath_count": q_xpath_count_sql(),
+    "xpath_boolean": q_xpath_boolean_sql(),
+    "xpath_node_mode": q_xpath_node_mode_sql(),
     "css_lang_attr": q_css_lang_attr_sql(),
+    "css_node_mode": q_css_node_mode_sql(),
     "beautify_xml": q_beautify_xml_sql(),
+    "beautify_html": q_beautify_html_sql(),
+    "beautify_json": q_beautify_json_sql(),
     "xml2json_doc": q_xml2json_doc_sql(),
     "detect_format": q_detect_format_sql(),
+    "charset_decl": q_charset_decl_sql(),
     "host_topk": q_host_topk_sql(),
     "dedup_groups": q_dedup_groups_sql(),
     "latest_event_per_user": q_latest_event_per_user_sql(),
