@@ -139,3 +139,29 @@ def test_resume_replays_only_unfinished(spark):
         assert second["skipped_parts"] == 8
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_multi_mb_page_arrow_batching(spark):
+    """FIXTURES.md §4: multi-MB repetitive pages must flow through the
+    Arrow batch path without issue."""
+    big = b"<doc>" + b"<row a=\"1\"><v>x</v></row>" * 80000 + b"</doc>"  # ~2 MB
+    rows = [(f"u{i}", None, big, "", "en") for i in range(8)]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = extract_pages(df, mode="xpath", query="count(//row)").collect()
+    assert len(got) == 8
+    assert all(r["error"] is None for r in got)
+
+
+def test_extraction_modes_dispatch(spark):
+    payload = b"<html><body><p class='x'>hi</p></body></html>"
+    df = spark.createDataFrame([("u", None, payload, "", "en")], PAGES_SCHEMA)
+    for mode, query, expect in [
+        ("css", "body > p", "hi\n"),
+        ("css-attr:class", "p", "x\n"),
+        ("json", "", None),  # html parses strict-ok here; output is JSON text
+        ("beautify", "", None),
+    ]:
+        row = extract_pages(df, mode=mode, query=query).collect()[0]
+        assert row["error"] is None, (mode, row["error"])
+        if expect is not None:
+            assert row["extracted"] == expect, mode
