@@ -64,3 +64,42 @@ def test_windowed_lineage_plan(spark):
         assert all(r["bytes"] > 0 for r in rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_dedup_across_microbatches(spark):
+    """applyInPandasWithState: a url seen in batch 1 is suppressed when it
+    reappears in batch 2 (state survives across microbatches)."""
+    import pyspark.sql.functions as F
+    from xqspark.streaming import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="xq_dedup_")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    try:
+        pages = synthesize_pages(spark, n_rows=100, n_hosts=5)
+        pages.write.parquet(src)  # file 1
+        # file 2: 50 duplicate urls + 20 fresh ones (ids 100..119)
+        dup = pages.limit(50)
+        fresh = synthesize_pages(spark, n_rows=120, n_hosts=5).filter("url like '%/p1__'")
+        dup.union(fresh).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(pages.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = dedup_stream(stream)
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_mem")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("select url from dedup_mem").collect()
+        urls = [r["url"] for r in got]
+        assert len(urls) == len(set(urls)), "duplicates leaked through"
+        assert len(urls) == 120  # 100 originals + 20 fresh, 50 dups dropped
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

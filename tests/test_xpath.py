@@ -125,3 +125,14 @@ def test_descendant_or_self_abbrev():
 def test_string_number_results():
     assert sv("string(//item[1]/@price)") == "10"
     assert sv("number(//item[3]/@price) + 1") == "6"
+
+
+def test_antchfx_extras():
+    assert sv("matches(//item[1]/name, '^ap+le$')") == "true"
+    assert sv("replace('a-b-c', '-', '+')") == "a+b+c"
+    assert sv("string-join(//item/name, ',')") == "apple,banana,carrot"
+    assert sv("string-join(reverse(//item/name), ',')") == "carrot,banana,apple"
+    assert sv("choose(1 < 2, 'yes', 'no')") == "yes"
+    assert sv("lower-case('ABC')") == "abc"
+    assert sv("upper-case('abc')") == "ABC"
+    assert sv("ends-with('hello', 'llo')") == "true"

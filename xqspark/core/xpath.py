@@ -617,11 +617,10 @@ class XPathExpr:
         self.ast = _Parser(query).parse()
 
     def evaluate(self, doc: DomNode):
+        # path/step/union evaluation already dedups and doc-sorts; no
+        # re-sort here so order-producing functions (reverse) survive
         ctx = _Context(doc, 1, 1, doc)
-        result = _eval(self.ast, ctx)
-        if isinstance(result, list):
-            result = _docsort(result)
-        return result
+        return _eval(self.ast, ctx)
 
     def select(self, doc: DomNode) -> list:
         result = self.evaluate(doc)
@@ -940,6 +939,25 @@ def _call(name: str, args: list, ctx: _Context):
         return to_string(arg(0)).lower()
     if name == "upper-case":
         return to_string(arg(0)).upper()
+    # antchfx/xpath extras beyond strict XPath 1.0 (go.mod:8 v1.3.7)
+    if name == "matches":
+        return re.search(to_string(arg(1)), to_string(arg(0))) is not None
+    if name == "replace":
+        # antchfx replace() is a literal substring replace
+        return to_string(arg(0)).replace(to_string(arg(1)), to_string(arg(2)))
+    if name == "string-join":
+        v = arg(0)
+        sep = to_string(arg(1)) if nargs > 1 else ""
+        if isinstance(v, list):
+            return sep.join(string_value(n) for n in v)
+        return to_string(v)
+    if name == "choose":
+        return arg(1) if to_boolean(arg(0)) else arg(2)
+    if name == "reverse":
+        v = arg(0)
+        if not isinstance(v, list):
+            raise XPathError("reverse() expects a node-set")
+        return list(reversed(v))
     if name == "id":
         raise XPathError("id() is not supported")
     raise XPathError(f"unknown function {name}()")

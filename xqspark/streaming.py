@@ -67,6 +67,58 @@ def windowed_lineage(
     )
 
 
+def dedup_stream(pages: DataFrame, ttl_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator: cross-microbatch first-seen URL dedup,
+    keyed by url-host, via applyInPandasWithState. Per host the state
+    holds a seen-set of url hashes; only first-seen rows pass through —
+    the streaming analog of dropDuplicates with bounded, TTL'd state
+    (crawl re-fetches of the same url are suppressed for the TTL)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("seen", T.ArrayType(T.LongType()))]
+    )
+
+    def dedup(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        for batch in batches:
+            mask = []
+            for url in batch["url"]:
+                h = hash(url) & 0x7FFFFFFFFFFFFFFF
+                if h in seen:
+                    mask.append(False)
+                else:
+                    seen.add(h)
+                    mask.append(True)
+            fresh = batch[pd.Series(mask, index=batch.index)]
+            if len(fresh):
+                yield fresh[["url", "warc_ts", "html", "lang"]]
+        state.update((list(seen),))
+        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+
+    keyed = with_host_salt(pages).select("host", "url", "warc_ts", "html", "lang")
+    return keyed.groupBy("host").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def run_stream_to_parquet(
     pages_stream: DataFrame,
     out_dir: str,
