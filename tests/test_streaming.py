@@ -22,7 +22,7 @@ def test_stream_extraction_end_to_end(spark):
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     try:
         pages = synthesize_pages(spark, n_rows=200, n_hosts=10)
-        pages.write.parquet(src)
+        pages.coalesce(2).write.parquet(src)
 
         stream = read_pages_stream(spark, src)
         assert stream.isStreaming
@@ -76,11 +76,11 @@ def test_stateful_dedup_across_microbatches(spark):
     src, ckpt = f"{base}/src", f"{base}/ckpt"
     try:
         pages = synthesize_pages(spark, n_rows=100, n_hosts=5)
-        pages.write.parquet(src)  # file 1
+        pages.coalesce(1).write.parquet(src)  # file 1
         # file 2: 50 duplicate urls + 20 fresh ones (ids 100..119)
         dup = pages.limit(50)
         fresh = synthesize_pages(spark, n_rows=120, n_hosts=5).filter("url like '%/p1__'")
-        dup.union(fresh).write.mode("append").parquet(src)
+        dup.union(fresh).coalesce(1).write.mode("append").parquet(src)
 
         stream = (
             spark.readStream.schema(pages.schema)

@@ -67,12 +67,17 @@ def windowed_lineage(
     )
 
 
-def dedup_stream(pages: DataFrame, ttl_minutes: int = 60) -> DataFrame:
+def dedup_stream(pages: DataFrame, ttl_minutes: int = 0) -> DataFrame:
     """Custom stateful operator: cross-microbatch first-seen URL dedup,
     keyed by url-host, via applyInPandasWithState. Per host the state
     holds a seen-set of url hashes; only first-seen rows pass through —
-    the streaming analog of dropDuplicates with bounded, TTL'd state
-    (crawl re-fetches of the same url are suppressed for the TTL)."""
+    the streaming analog of dropDuplicates with bounded state.
+
+    ttl_minutes > 0 enables ProcessingTimeTimeout state eviction for
+    long-running continuous jobs. Leave it 0 for availableNow/batch-drain
+    runs: with a processing-time timeout, Spark keeps scheduling
+    "no new data but cleaning up state" batches until the TTL fires,
+    so a drain-and-stop trigger never terminates."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
@@ -107,15 +112,21 @@ def dedup_stream(pages: DataFrame, ttl_minutes: int = 60) -> DataFrame:
             if len(fresh):
                 yield fresh[["url", "warc_ts", "html", "lang"]]
         state.update((list(seen),))
-        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if ttl_minutes > 0:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes > 0
+        else GroupStateTimeout.NoTimeout
+    )
     keyed = with_host_salt(pages).select("host", "url", "warc_ts", "html", "lang")
     return keyed.groupBy("host").applyInPandasWithState(
         dedup,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )
 
 
