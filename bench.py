@@ -117,6 +117,7 @@ def _headline_bench(sf_dir: str, cpus: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     try:
+        _warm_python_workers(spark, cpus)
         for name in headline:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)

@@ -133,3 +133,38 @@ def test_html_idempotent(path):
 
 def test_beautify_json_detection():
     assert beautify(b'  {"a": 1}') == '{\n  "a": 1\n}\n'
+
+
+# -- entity decoding edges (WHATWG, x/net/html escape.go semantics) --
+
+def test_html_entity_longest_match():
+    from xqspark.core.entities import unescape
+    assert unescape("&notit;") == "¬it;"       # longest prefix wins
+    assert unescape("&notin;") == "∉"
+    assert unescape("&amp=1") == "&=1"          # no-semicolon form in text
+    assert unescape("&amp=1", in_attr=True) == "&amp=1"  # attr-mode exception
+    assert unescape("&copy 2024") == "© 2024"
+    assert unescape("&copyx", in_attr=True) == "&copyx"
+    assert unescape("&#65;&#x42;") == "AB"
+    assert unescape("&#128;") == "€"            # windows-1252 remap
+    assert unescape("&#xD800;") == "�"          # surrogate -> replacement
+    assert unescape("&bogusentity;") == "&bogusentity;"
+
+
+def test_charset_latin1():
+    data = '<?xml version="1.0" encoding="iso-8859-1"?><a>caf\xe9</a>'.encode("latin-1")
+    from xqspark.core.fmt_xml import format_xml
+    assert "café" in format_xml(data)
+
+
+def test_charset_unknown_is_error():
+    from xqspark.core.charset import CharsetError, decode_payload
+    import pytest as _pytest
+    with _pytest.raises(CharsetError):
+        decode_payload(b'<?xml version="1.0" encoding="no-such-charset"?><a/>')
+
+
+def test_xml_numeric_entities():
+    assert format_xml("<a>&#65;&#x42;</a>") == "<a>AB</a>\n"
+    # malformed numeric refs stay raw (-> CDATA since they contain &)
+    assert format_xml("<a>&#xZZ;</a>") == "<a><![CDATA[&#xZZ;]]></a>\n"
