@@ -168,3 +168,50 @@ def test_xml_numeric_entities():
     assert format_xml("<a>&#65;&#x42;</a>") == "<a>AB</a>\n"
     # malformed numeric refs stay raw (-> CDATA since they contain &)
     assert format_xml("<a>&#xZZ;</a>") == "<a><![CDATA[&#xZZ;]]></a>\n"
+
+
+# -- regressions from the round-1 code review --
+
+def test_trailing_spaces_then_newline_preserved():
+    # Go regexp `\n +$` anchors at true end-of-text; '\n   \n' must NOT match
+    assert format_xml("<a>text\n   \n</a>") == "<a>text\n   \n</a>\n"
+
+
+def test_abrupt_closing_html_comments():
+    # <!--> and <!---> are empty comments, not swallow-the-document
+    # (level-0 comments print with a trailing newline, utils.go:438-440)
+    assert format_html("<!-->after") == "<!-->\nafter\n"
+    out = format_html("<!--->x<p>y</p>")
+    assert "<p>y</p>" in out
+
+
+def test_cdata_end_in_chardata_errors():
+    # unconditional in Go, even non-strict (encoding/xml text())
+    with pytest.raises(XmlSyntaxError):
+        format_xml("<a>x]]>y</a>")
+
+
+def test_illegal_control_char_errors():
+    with pytest.raises(XmlSyntaxError):
+        format_xml("<a>x\x00y</a>")
+    with pytest.raises(XmlSyntaxError):
+        format_xml('<a b="x\x01y"/>')
+
+
+def test_nodeset_vs_boolean_compare():
+    # XPath 1.0 §3.4: boolean(empty-node-set) = false() -> true
+    assert xpath_query("<a/>", "//missing = false()").strip() == "true"
+    assert xpath_query("<a/>", "//missing != true()").strip() == "true"
+    assert xpath_query("<a><b/></a>", "//b = true()").strip() == "true"
+
+
+def test_reverse_with_predicate():
+    doc = "<r><a>1</a><a>2</a><a>3</a></r>"
+    out = xpath_query(doc, "string-join(reverse(//a)[1], '')")
+    assert out.strip() == "3"
+
+
+def test_long_numeric_entity_consumed():
+    from xqspark.core.entities import unescape
+    assert unescape("&#999999999;") == "�"
+    assert unescape("&#99999999999999999999;") == "�"

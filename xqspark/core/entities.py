@@ -28,7 +28,8 @@ _REPLACEMENTS = {
     0x9B: "›", 0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
 }
 
-_RE_NUMERIC = re.compile(r"#([0-9]{1,8})|#[xX]([0-9a-fA-F]{1,8})")
+# x/net/html consumes ALL digits, then range-checks (overflow -> U+FFFD)
+_RE_NUMERIC = re.compile(r"#([0-9]+)|#[xX]([0-9a-fA-F]+)")
 
 
 def _decode_numeric(num: int) -> str:

@@ -264,7 +264,19 @@ def go_float_str(f: float) -> str:
         mant, exp = r.split("e")
         iexp = int(exp)
         if -7 < iexp < 21:
-            return f"{f:.{max(0, 20)}f}".rstrip("0").rstrip(".")
+            # expand the shortest-round-trip mantissa to fixed point
+            # verbatim (no re-rounding): Go uses 'f' form in this range
+            neg = mant.startswith("-")
+            digits = mant.lstrip("-").replace(".", "")
+            point = len(mant.lstrip("-").split(".")[0])  # digits before '.'
+            point += iexp
+            if point <= 0:
+                body = "0." + "0" * (-point) + digits
+            elif point >= len(digits):
+                body = digits + "0" * (point - len(digits))
+            else:
+                body = digits[:point] + "." + digits[point:]
+            return ("-" if neg else "") + body
         sign = "+" if iexp >= 0 else "-"
         return f"{mant}e{sign}{abs(iexp):02d}"
     return r

@@ -353,6 +353,13 @@ class HtmlTokenizer:
 
     def _read_comment(self, start: int):
         s, n = self.s, self.n
+        # abrupt-closing comments: <!--> and <!---> are empty comments
+        if s.startswith(">", start + 4):
+            self.pos = start + 5
+            return HComment(s[start : start + 5], "")
+        if s.startswith("->", start + 4):
+            self.pos = start + 6
+            return HComment(s[start : start + 6], "")
         i = start + 4
         # scan for --> or --!>
         while True:

@@ -115,7 +115,9 @@ _ESCAPE_NEEDED = re.compile(
 )
 
 _RE_HEAD = re.compile(r"^ *\n +")
-_RE_TAIL = re.compile(r"\n +$")
+# \Z not $: Go regexp's $ matches only at true end-of-text, while
+# Python's $ also matches before a trailing newline
+_RE_TAIL = re.compile(r"\n +\Z")
 
 
 def normalize_spaces(s: str, indent: str, level: int) -> str:

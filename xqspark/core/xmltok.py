@@ -37,6 +37,9 @@ class XmlSyntaxError(ValueError):
 import re as _re
 
 _STOP_TEXT = _re.compile(r"[<&]")
+# Go text() rejects control characters outside the XML Char range in
+# character data and attribute values, even in non-strict mode.
+_ILLEGAL_CHAR = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
 _STOP_DQUOTE = _re.compile(r'[<&"]')
 _STOP_SQUOTE = _re.compile(r"[<&']")
 # ASCII fast path for XML names; the slow unicode loop extends it
@@ -50,7 +53,8 @@ _SPACE_RE = _re.compile(r"[ \t\r\n]*")
 # position, so semantics are unchanged.
 _FAST_TAG = _re.compile(
     r"<([A-Za-z_][A-Za-z0-9_.\-]*)"
-    r"((?:[ \t\n]+[A-Za-z_][A-Za-z0-9_.\-]*=\"[^\"&<\r]*\")*)"
+    r"((?:[ \t\n]+[A-Za-z_][A-Za-z0-9_.\-]*="
+    r"\"[^\"&<\r\x00-\x08\x0b\x0c\x0e-\x1f]*\")*)"
     r"[ \t\n]*(/?)>"
 )
 _FAST_ATTR = _re.compile(r"([A-Za-z_][A-Za-z0-9_.\-]*)=\"([^\"]*)\"")
@@ -188,6 +192,11 @@ class GoXmlTokenizer:
             if idx == -1:
                 raise XmlSyntaxError("unexpected EOF in CDATA section")
             text = s[self.pos:idx]
+            m_bad = _ILLEGAL_CHAR.search(text)
+            if m_bad:
+                raise XmlSyntaxError(
+                    f"illegal character code U+{ord(m_bad.group()):04X}"
+                )
             self.pos = idx + 3
             return _rewrite_crlf(text)
 
@@ -198,18 +207,24 @@ class GoXmlTokenizer:
             stop_re = _STOP_DQUOTE
         else:
             stop_re = _STOP_SQUOTE
-        check_cdata_end = self.strict and quote is None
         while True:
             # bulk-copy until the next character that needs a decision
             start = self.pos
             m = stop_re.search(s, start)
             i = m.start() if m else n
-            if check_cdata_end:
+            if quote is None:
+                # NOT gated on Strict in Go (encoding/xml text()):
                 j = s.find("]]>", start, i)
                 if j != -1:
                     raise XmlSyntaxError("unescaped ]]> not in CDATA section")
             if i > start:
-                out.append(s[start:i])
+                chunk = s[start:i]
+                m_bad = _ILLEGAL_CHAR.search(chunk)
+                if m_bad:
+                    raise XmlSyntaxError(
+                        f"illegal character code U+{ord(m_bad.group()):04X}"
+                    )
+                out.append(chunk)
                 self.pos = i
             if self.pos >= n:
                 if quote is not None:

@@ -696,7 +696,9 @@ def _eval(ast, ctx: _Context):
         primary = _eval(ast[1], ctx)
         if not isinstance(primary, list):
             raise XPathError("predicates require a node-set")
-        nodes = _docsort(primary)
+        # predicates apply in the expression's own iteration order (paths
+        # arrive doc-sorted already; reverse() etc. keep their order)
+        nodes = primary
         for pred in ast[2]:
             nodes = _apply_predicate(nodes, pred, ctx)
         if ast[3]:
@@ -755,12 +757,14 @@ def _compare(op: str, left, right) -> bool:
     if lns or rns:
         nodes, other = (left, right) if lns else (right, left)
         flip = not lns
+        if isinstance(other, bool) and op in ("=", "!="):
+            # XPath 1.0 §3.4: node-set vs boolean compares boolean(node-set)
+            a = to_boolean(nodes)
+            return (a == other) if op == "=" else (a != other)
         for n in nodes:
             sv = string_value(n)
-            if isinstance(other, float):
-                a, b = to_number(sv), other
-            elif isinstance(other, bool):
-                a, b = to_boolean([n]), other
+            if isinstance(other, (float, bool)):
+                a, b = to_number(sv), to_number(other)
             elif op in ("=", "!="):
                 a, b = sv, other
             else:

@@ -242,10 +242,21 @@ def run_with_resume(
     pending = keyed.select("url", "warc_ts", "html", "text", "lang")
     extracted = extract_pages(pending, mode, query, salts=salts, n_buckets=n_buckets)
     extracted = extracted.persist()
+    processed = 0
     try:
         processed = extracted.count()
         if processed > 0:
-            extracted.write.mode("append").parquet(results_path)
+            # Results are written with DYNAMIC partition overwrite keyed on
+            # part_key: a crash between the results write and the manifest
+            # write makes the restart re-extract those part_keys, and the
+            # re-write REPLACES the same partitions instead of appending
+            # duplicates -> exactly-once results per part_key.
+            (
+                extracted.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_key")
+                .parquet(results_path)
+            )
             lineage(extracted).write.mode("append").parquet(manifest_path)
     finally:
         extracted.unpersist()

@@ -768,7 +768,9 @@ def q_multimodal_meta(spark, sf_dir):
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "n_bytes": pd.Series(sizes, dtype="int64"),
-                    "head_byte": pd.Series(heads, dtype="int32"),
+                    # nullable Int32: None head_byte (empty payload) must not
+                    # kill the task
+                    "head_byte": pd.Series(heads, dtype="Int32"),
                 }
             )
 

@@ -94,6 +94,15 @@ def dedup_stream(pages: DataFrame, ttl_minutes: int = 0) -> DataFrame:
         [T.StructField("seen", T.ArrayType(T.LongType()))]
     )
 
+    import hashlib
+
+    def _url_hash(url: str) -> int:
+        # deterministic across processes/restarts (builtin hash() depends
+        # on PYTHONHASHSEED and would silently invalidate persisted state)
+        return int.from_bytes(
+            hashlib.md5(url.encode("utf-8", "surrogateescape")).digest()[:8], "big"
+        ) & 0x7FFFFFFFFFFFFFFF
+
     def dedup(key, batches, state: GroupState):
         if state.hasTimedOut:
             state.remove()
@@ -102,7 +111,7 @@ def dedup_stream(pages: DataFrame, ttl_minutes: int = 0) -> DataFrame:
         for batch in batches:
             mask = []
             for url in batch["url"]:
-                h = hash(url) & 0x7FFFFFFFFFFFFFFF
+                h = _url_hash(url)
                 if h in seen:
                     mask.append(False)
                 else:
