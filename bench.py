@@ -156,6 +156,18 @@ def _warm_python_workers(spark, cpus: int) -> None:
         .mapInPandas(identity, T.StructType([T.StructField("id", T.LongType())]))
         .count()
     )
+    # also warm the ArrowEvalPython (scalar pandas_udf) path + core imports
+    from pyspark.sql import functions as F
+
+    from xqspark.udfs import make_beautify_udf
+
+    udf = make_beautify_udf()
+    (
+        spark.range(cpus * 4)
+        .repartition(cpus)
+        .select(udf(F.lit("<a>x</a>").cast("binary")))
+        .count()
+    )
 
 
 def _extract_inproc(spark, rows: int) -> dict:
