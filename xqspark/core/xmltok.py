@@ -350,21 +350,23 @@ class GoXmlTokenizer:
         element and replays itself (Go's needClose/toClose repair), which
         may cascade through several open elements.
         """
-        if not self.stack:
-            raise XmlSyntaxError(f"unexpected end element </{tok.name.local}>")
-        top_name, saved = self.stack.pop()
-        for prefix, old in reversed(saved):
-            if old is None:
-                self.ns.pop(prefix, None)
-            else:
-                self.ns[prefix] = old
-        if top_name.local != tok.name.local:
+        out: list[EndElement] = []
+        while True:
+            if not self.stack:
+                raise XmlSyntaxError(f"unexpected end element </{tok.name.local}>")
+            top_name, saved = self.stack.pop()
+            for prefix, old in reversed(saved):
+                if old is None:
+                    self.ns.pop(prefix, None)
+                else:
+                    self.ns[prefix] = old
+            out.append(EndElement(top_name))
+            if top_name.local == tok.name.local:
+                return out
             if self.strict:
                 raise XmlSyntaxError(
                     f"element <{top_name.local}> closed by </{tok.name.local}>"
                 )
-            return [EndElement(top_name)] + self._pop_element(tok)
-        return [EndElement(top_name)]
 
     # ---- raw token scanning ----
 
