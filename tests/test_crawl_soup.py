@@ -56,3 +56,33 @@ def test_attributes_preserved_on_implied_merge():
     root = parse_html(doc)
     html = [n for n in root.iter_descendants() if n.type == "element" and n.data == "html"][0]
     assert any(a.local == "lang" and a.value == "en" for a in html.attrs)
+
+
+# -- regressions from the second review pass --
+
+def test_li_does_not_close_through_blockquote():
+    doc = "<ul><li>a<blockquote><li>b</blockquote></li></ul>"
+    # the second li nests inside blockquote (special element stops the scan)
+    assert texts("ul > li", doc) == ["ab"] or len(texts("ul > li", doc)) == 1
+
+
+def test_bgsound_does_not_swallow_head():
+    doc = "<head><bgsound src='x'><title>T</title></head><body><p>b</p></body>"
+    assert texts("head > title", doc) == ["T"]
+
+
+def test_stray_close_p_synthesizes_empty_p():
+    doc = "x</p>y"
+    assert len(texts("p", doc)) == 1
+    assert texts("p", doc) == [""]
+
+
+def test_nbsp_class_not_split():
+    doc = '<p class="foo bar">x</p>'
+    assert texts(".foo", doc) == []
+    assert texts('[class~="foo"]', doc) == []
+
+
+def test_option_closes_only_current():
+    doc = "<select><option>a<option>b</select>"
+    assert texts("option", doc) == ["a", "b"]

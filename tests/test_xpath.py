@@ -136,3 +136,17 @@ def test_antchfx_extras():
     assert sv("lower-case('ABC')") == "abc"
     assert sv("upper-case('abc')") == "ABC"
     assert sv("ends-with('hello', 'llo')") == "true"
+
+
+def test_second_review_regressions():
+    assert sv("normalize-space('a b')") == "a b"  # NBSP kept (XPath S)
+    assert sv("1 div (-0 - 0)") == "-Inf"
+    import pytest as _p
+    from xqspark.core.xpath import XPathError
+    with _p.raises(XPathError):
+        ev("substring('abc')")  # arity error, not IndexError
+    with _p.raises(XPathError):
+        ev("matches('x', '[')")  # invalid regexp contained
+    # PI string-value is "" (xmlquery InnerText semantics)
+    doc = '<?xml-stylesheet href="a.css"?><r>x</r>'
+    assert sv("string(//processing-instruction())", doc) == ""

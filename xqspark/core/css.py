@@ -40,6 +40,15 @@ def _unquote(v: str) -> str:
     return v
 
 
+_ASCII_WS = re.compile(r"[ \t\r\n\f]+")
+
+
+def _ws_tokens(s: str) -> list[str]:
+    """Split on ASCII whitespace only (CSS/cascadia rules; Python's
+    str.split also splits NBSP and other Unicode spaces)."""
+    return [t for t in _ASCII_WS.split(s) if t]
+
+
 class _Simple:
     """One compound selector: type + conditions."""
 
@@ -79,7 +88,7 @@ def _make_attr_cond(name: str, op: str | None, val: str | None):
         if op == "=":
             return actual == v
         if op == "~=":
-            return v in actual.split()
+            return v in _ws_tokens(actual)
         if op == "|=":
             return actual == v or actual.startswith(v + "-")
         if op == "^=":
@@ -242,7 +251,7 @@ def _compile_group(selector: str) -> list[list]:
         elif kind == "class":
             cls = m.group("class")[1:]
             compound.conds.append(
-                lambda n, c=cls: c in (_attr_value(n, "class") or "").split()
+                lambda n, c=cls: c in _ws_tokens(_attr_value(n, "class") or "")
             )
         elif kind == "attr":
             compound.conds.append(

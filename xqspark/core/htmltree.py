@@ -13,7 +13,15 @@ Reuses DomNode so the CSS engine and serializers share one node type.
 from __future__ import annotations
 
 from .dom import COMMENT, DOCUMENT, ELEMENT, TEXT, DomAttr, DomNode
-from .htmltok import HComment, HDoctype, HEndTag, HStartTag, HText, HtmlTokenizer
+from .htmltok import (
+    RAW_TEXT_TAGS,
+    HComment,
+    HDoctype,
+    HEndTag,
+    HStartTag,
+    HText,
+    HtmlTokenizer,
+)
 from .textutil import VOID_TAGS
 
 # tags whose start tag implicitly closes an open <p> (WHATWG "in body")
@@ -41,9 +49,27 @@ _SIBLING_CLOSERS = {
     "optgroup": ("option", "optgroup"),
 }
 
-_SCOPE_STOPS = frozenset(
-    ("html", "body", "table", "ul", "ol", "dl", "select", "template")
+# WHATWG "special" category (the auto-close scan for li/dd/dt stops at any
+# special element except address/div/p, per the "in body" insertion mode)
+_SPECIAL = frozenset(
+    """applet area article aside base basefont bgsound blockquote body br
+    button caption center col colgroup dd details dir div dl dt embed
+    fieldset figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6
+    head header hgroup hr html iframe img input keygen li link listing main
+    marquee menu meta nav noembed noframes noscript object ol p param
+    plaintext pre script section select source style summary table tbody td
+    template textarea tfoot th thead title tr track ul wbr xmp
+    address""".split()
 )
+
+_LIST_SCOPE_STOP = _SPECIAL - {"address", "div", "p"}
+
+_TABLE_SCOPE_STOPS = frozenset(("html", "body", "table", "template"))
+
+# base/basefont/bgsound/link/meta are inserted and immediately popped in
+# the head insertion mode (x/net/html inHeadIM); the non-VOID_TAGS two
+# must still never be pushed
+_IMMEDIATE_POP = frozenset(("basefont", "bgsound"))
 
 _P_SCOPE_STOPS = frozenset(
     ("html", "body", "table", "td", "th", "caption", "button", "select", "template")
@@ -116,13 +142,23 @@ class HtmlTreeBuilder:
                     break
         closers = _SIBLING_CLOSERS.get(name)
         if closers:
-            for i in range(len(self.stack) - 1, -1, -1):
-                tag = self.stack[i].data
-                if tag in closers:
-                    del self.stack[i:]
-                    break
-                if tag in _SCOPE_STOPS:
-                    break
+            if name in ("li", "dd", "dt"):
+                stops = _LIST_SCOPE_STOP - set(closers)
+            elif name in ("option", "optgroup"):
+                # spec closes only when the CURRENT node is option/optgroup
+                while self.stack and self.stack[-1].data in closers:
+                    self.stack.pop()
+                stops = None
+            else:
+                stops = _TABLE_SCOPE_STOPS
+            if stops is not None:
+                for i in range(len(self.stack) - 1, -1, -1):
+                    tag = self.stack[i].data
+                    if tag in closers:
+                        del self.stack[i:]
+                        break
+                    if tag in stops:
+                        break
         if name in _HEADINGS and self.stack and self.stack[-1].data in _HEADINGS:
             self.stack.pop()
 
@@ -182,13 +218,21 @@ class HtmlTreeBuilder:
             # nest inside an open head element (e.g. <noscript><link>)
             parent = cur if cur is not self.html and cur is not self.doc else head
             parent.append(element)
-            if name not in VOID_TAGS and not tok.self_closing:
+            if (
+                name not in VOID_TAGS
+                and name not in _IMMEDIATE_POP
+                and not tok.self_closing
+            ):
                 self.stack.append(element)
             return
         self._open_body()
         self._auto_close(name)
         self._current().append(element)
-        if name not in VOID_TAGS and not tok.self_closing:
+        if (
+            name not in VOID_TAGS
+            and name not in _IMMEDIATE_POP
+            and not tok.self_closing
+        ):
             self.stack.append(element)
 
     def _end_tag(self, name: str) -> None:
@@ -207,6 +251,11 @@ class HtmlTreeBuilder:
             if node.data == name:
                 del self.stack[i:]
                 return
+        if name == "p":
+            # WHATWG: </p> with no open p synthesizes an empty <p>
+            self._open_body()
+            self._current().append(DomNode(ELEMENT, "p"))
+            return
         # stray end tag: ignored
 
 
@@ -217,20 +266,8 @@ def parse_html(data: bytes | str) -> DomNode:
     return builder.feed(HtmlTokenizer(data).tokens())
 
 
-_RAW_PARENTS = frozenset(
-    (
-        "script",
-        "style",
-        "title",
-        "textarea",
-        "iframe",
-        "noembed",
-        "noframes",
-        "noscript",
-        "plaintext",
-        "xmp",
-    )
-)
+# keep serialization escaping in lockstep with tokenization
+_RAW_PARENTS = RAW_TEXT_TAGS
 
 
 def serialize_html(node: DomNode, outer: bool = True) -> str:

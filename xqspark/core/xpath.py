@@ -69,7 +69,10 @@ def string_value(n) -> str:
         return n.attr.value
     if n.type in (ELEMENT, DOCUMENT):
         return n.inner_text()
-    # text / comment / pi / declaration
+    if n.type == PI or n.type == "declaration":
+        # xmlquery InnerText of a PI node is "" (no text children)
+        return ""
+    # text / comment
     return n.data
 
 
@@ -671,7 +674,9 @@ def _eval(ast, ctx: _Context):
             if right == 0:
                 if left == 0 or math.isnan(left):
                     return float("nan")
-                return math.inf if left > 0 else -math.inf
+                # IEEE 754: respect the sign of (possibly negative) zero
+                same_sign = (left > 0) == (math.copysign(1.0, right) > 0)
+                return math.inf if same_sign else -math.inf
             return left / right
         if o == "mod":
             if right == 0 or math.isnan(left) or math.isnan(right):
@@ -818,6 +823,13 @@ def _cmp_values(op: str, a, b) -> bool:
 
 
 def _call(name: str, args: list, ctx: _Context):
+    try:
+        return _call_inner(name, args, ctx)
+    except IndexError:
+        raise XPathError(f"wrong number of arguments to {name}()")
+
+
+def _call_inner(name: str, args: list, ctx: _Context):
     def arg(i):
         return _eval(args[i], ctx)
 
@@ -891,7 +903,8 @@ def _call(name: str, args: list, ctx: _Context):
         return float(len(s))
     if name == "normalize-space":
         s = to_string(arg(0)) if nargs else string_value(ctx.node)
-        return " ".join(s.split())
+        # XPath S is only #x20/#x9/#xD/#xA — not Unicode whitespace
+        return " ".join(t for t in re.split(r"[ \t\r\n]+", s) if t)
     if name == "translate":
         s, src, dst = to_string(arg(0)), to_string(arg(1)), to_string(arg(2))
         table = {}
@@ -945,7 +958,10 @@ def _call(name: str, args: list, ctx: _Context):
         return to_string(arg(0)).upper()
     # antchfx/xpath extras beyond strict XPath 1.0 (go.mod:8 v1.3.7)
     if name == "matches":
-        return re.search(to_string(arg(1)), to_string(arg(0))) is not None
+        try:
+            return re.search(to_string(arg(1)), to_string(arg(0))) is not None
+        except re.error as exc:
+            raise XPathError(f"invalid regexp in matches(): {exc}")
     if name == "replace":
         # antchfx replace() is a literal substring replace
         return to_string(arg(0)).replace(to_string(arg(1)), to_string(arg(2)))
