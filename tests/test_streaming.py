@@ -49,7 +49,7 @@ def test_windowed_lineage_plan(spark):
         src = f"{base}/src"
         synthesize_pages(spark, n_rows=100, n_hosts=5).write.parquet(src)
         stream = read_pages_stream(spark, src)
-        lin = windowed_lineage(stream, None, window="1 hour", watermark="2 hours")
+        lin = windowed_lineage(stream, window="1 hour", watermark="2 hours")
         assert lin.isStreaming
         q = (
             lin.writeStream.format("memory")

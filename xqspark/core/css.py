@@ -333,5 +333,11 @@ class CssSelector:
         return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def compile_css(selector: str) -> CssSelector:
+    """Compiled selectors are immutable at match time — cached so
+    per-document callers get compile-once-per-worker semantics."""
     return CssSelector(selector)

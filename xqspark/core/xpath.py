@@ -632,7 +632,14 @@ class XPathExpr:
         return result
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def compile_xpath(query: str) -> XPathExpr:
+    """Compiled expressions are immutable at eval time, so caching gives
+    the compile-once-per-worker behavior the reference has
+    (utils.go:239-244) to every caller, including per-document paths."""
     return XPathExpr(query)
 
 

@@ -226,12 +226,14 @@ def run_with_resume(
     manifest_path = os.path.join(out_dir, "manifest")
 
     keyed = with_part_key(with_host_salt(pages, salts), n_buckets)
-    done_parts = None
-    if os.path.exists(manifest_path):
-        try:
-            done_parts = spark.read.parquet(manifest_path).select("part_key").distinct()
-        except Exception:
-            done_parts = None
+    # probe via the Spark reader, NOT os.path: the manifest may live on
+    # distributed storage (hdfs://, s3a://) invisible to the driver's
+    # local filesystem
+    try:
+        done_parts = spark.read.parquet(manifest_path).select("part_key").distinct()
+        done_parts.first()  # force existence check now
+    except Exception:
+        done_parts = None
 
     skipped = 0
     if done_parts is not None:

@@ -456,7 +456,9 @@ def q_token_stats(spark, sf_dir):
     text = F.trim(F.col("text"))
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.size(F.split(text, r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0)))
+        .cast("long")
+        .alias("ws_tokens"),
         F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|\S"), F.lit(0)))
         .cast("long")
         .alias("bpe_tokens"),
@@ -478,7 +480,7 @@ def q_quality_score(spark, sf_dir):
     stops = F.size(
         F.regexp_extract_all(text, F.lit(r"\b(the|a|of|and|to)\b"), F.lit(0))
     )
-    toks = F.size(F.split(F.trim(text), r"\s+"))
+    toks = F.size(F.regexp_extract_all(F.trim(text), F.lit(r"\S+"), F.lit(0)))
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.round(alpha / F.length(text), 4).alias("alpha_ratio"),
@@ -763,7 +765,10 @@ def q_multimodal_meta(spark, sf_dir):
                     continue
                 data = bytes(payload)
                 sizes.append(len(data))
-                heads.append(int(data[0]) if data else None)
+                text = data.decode("utf-8", "surrogateescape")
+                # first-character code point (oracle: DuckDB ascii() returns
+                # the code point of the first character)
+                heads.append(ord(text[0]) if text else None)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -780,7 +785,8 @@ def q_multimodal_meta(spark, sf_dir):
 def q_multimodal_meta_sql():
     return (
         "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
-        "ascii(substring(text, 1, 1))::INTEGER AS head_byte FROM documents"
+        "CASE WHEN length(text) = 0 THEN NULL "
+        "ELSE ascii(substring(text, 1, 1)) END::INTEGER AS head_byte FROM documents"
     )
 
 

@@ -50,7 +50,6 @@ def extract_stream(
 
 def windowed_lineage(
     pages: DataFrame,
-    extracted: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
@@ -90,24 +89,24 @@ def dedup_stream(pages: DataFrame, ttl_minutes: int = 0) -> DataFrame:
             T.StructField("lang", T.StringType()),
         ]
     )
+    # full 16-byte digests (not truncated ints): collisions would silently
+    # drop distinct URLs as "duplicates"
     state_schema = T.StructType(
-        [T.StructField("seen", T.ArrayType(T.LongType()))]
+        [T.StructField("seen", T.ArrayType(T.BinaryType()))]
     )
 
     import hashlib
 
-    def _url_hash(url: str) -> int:
+    def _url_hash(url: str) -> bytes:
         # deterministic across processes/restarts (builtin hash() depends
         # on PYTHONHASHSEED and would silently invalidate persisted state)
-        return int.from_bytes(
-            hashlib.md5(url.encode("utf-8", "surrogateescape")).digest()[:8], "big"
-        ) & 0x7FFFFFFFFFFFFFFF
+        return hashlib.md5(url.encode("utf-8", "surrogateescape")).digest()
 
     def dedup(key, batches, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        seen = set(state.get[0]) if state.exists else set()
+        seen = set(bytes(b) for b in state.get[0]) if state.exists else set()
         for batch in batches:
             mask = []
             for url in batch["url"]:

@@ -18,7 +18,6 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from xqspark.core.api import beautify, css_query, to_json, xpath_query
-from xqspark.core.charset import decode_payload
 from xqspark.core.dom import parse_dom
 from xqspark.core.fmt_html import format_html
 from xqspark.core.fmt_json import format_json
@@ -182,6 +181,10 @@ def content_type_col(col):
 
 def declared_charset_col(col):
     """Vectorized xml-decl charset sniff (utils.go:708-717 analog)."""
+    # anchored to the XML declaration only (Go inspects just the decl,
+    # utils.go:708-717) — a bare encoding= elsewhere must not match
     return F.regexp_extract(
-        F.substring(col.cast("string"), 1, 200), r'encoding=["\']([^"\']+)["\']', 1
+        F.substring(col.cast("string"), 1, 200),
+        "^<\\?xml[^>]*encoding=[\"']([^\"']+)[\"']",
+        1,
     )
