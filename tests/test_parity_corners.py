@@ -129,3 +129,13 @@ def test_to_json_compact_sorted_keys():
 def test_force_html_on_xml():
     out = beautify("<a><b>x</b></a>", force_html=True)
     assert out == "<a>\n  <b>x</b>\n</a>\n"
+
+
+def test_procinst_inside_element_quirk():
+    """Faithful xq quirk: the ProcInst case never closes an open start tag
+    (utils.go:86-102 writes directly, no startTagClosed check), so a PI as
+    first child produces `<a<?pi x?>` — exactly as the reference does."""
+    from xqspark.core.fmt_xml import format_xml
+    assert format_xml("<a><?pi x?></a>") == "<a<?pi x?>\n/>\n"
+    # with preceding text the tag is already closed and output is ordinary
+    assert format_xml("<a>text<?pi x?></a>") == "<a>text<?pi x?>\n</a>\n"
