@@ -215,3 +215,16 @@ def test_long_numeric_entity_consumed():
     from xqspark.core.entities import unescape
     assert unescape("&#999999999;") == "�"
     assert unescape("&#99999999999999999999;") == "�"
+
+
+@pytest.mark.parametrize("enc,codec,text", [
+    ("shift_jis", "shift_jis", "日本語"),
+    ("gb2312", "gb2312", "中文"),
+    ("koi8-r", "koi8_r", "текст"),
+    ("iso-8859-2", "iso8859-2", "žluťoučký"),
+])
+def test_charset_matrix(enc, codec, text):
+    payload = f'<?xml version="1.0" encoding="{enc}"?><a>{text}</a>'.encode(codec)
+    out = format_xml(payload)
+    assert text in out
+    assert f'encoding="{enc}"' in out

@@ -150,3 +150,31 @@ def test_second_review_regressions():
     # PI string-value is "" (xmlquery InnerText semantics)
     doc = '<?xml-stylesheet href="a.css"?><r>x</r>'
     assert sv("string(//processing-instruction())", doc) == ""
+
+
+def test_attr_wildcard_and_pi():
+    doc = '<?xml version="1.0"?><r a="1" b="2"><?style x?><c d="3">t</c></r>'
+    assert sv("count(//@*)", doc) == "3"
+    assert sv("count(//processing-instruction('style'))", doc) == "1"
+    assert sv("count(//processing-instruction())", doc) == "1"
+    assert sv("name(//processing-instruction())", doc) == "style"
+
+
+def test_nested_predicates_and_arith():
+    doc = "<r><a p='4'><b><c>1</c></b></a><a p='7'><b><c>2</c></b></a></r>"
+    assert sv("//a[b[c=2]]/@p", doc) == "7"
+    assert sv("//a[@p * 2 > 10]/@p", doc) == "7"
+    assert sv("//a[b/c = 1 or @p = 7]/@p", doc) == "4\n7"
+    assert sv("count(//a[not(b/c = 1)])", doc) == "1"
+
+
+def test_union_in_predicate():
+    doc = "<r><a>1</a><b>2</b><c>3</c></r>"
+    assert sv("count(//a | //b)", doc) == "2"
+    assert sv("//*[self::a or self::c]", doc) == "1\n3"
+
+
+def test_relative_from_context_via_predicate():
+    doc = "<r><row><k>x</k><v>10</v></row><row><k>y</k><v>20</v></row></r>"
+    assert sv("//row[k='y']/v", doc) == "20"
+    assert sv("sum(//row/v)", doc) == "30"
