@@ -139,3 +139,47 @@ def test_procinst_inside_element_quirk():
     assert format_xml("<a><?pi x?></a>") == "<a<?pi x?>\n/>\n"
     # with preceding text the tag is already closed and output is ordinary
     assert format_xml("<a>text<?pi x?></a>") == "<a>text<?pi x?>\n</a>\n"
+
+
+# -- fourth review-batch regressions --
+
+def test_json_mode_go_decode_semantics():
+    # ints become float64 (precision loss like Go), first value only
+    assert to_json('{"id": 9007199254740993}') == '{\n  "id": 9007199254740992\n}\n'
+    assert to_json('{"a": 1} trailing-garbage') == '{\n  "a": 1\n}\n'
+
+def test_json_invalid_utf8_to_replacement():
+    from xqspark.core.fmt_json import format_json
+    assert format_json(b'{"a":"\x80"}') == '{\n  "a": "�"\n}\n'
+
+def test_bom_before_decl_transcodes():
+    payload = b"\xef\xbb\xbf" + '<?xml version="1.0" encoding="windows-1251"?><a>\xcf\xf0\xe8</a>'.encode("latin-1")
+    from xqspark.core.fmt_xml import format_xml
+    assert "При" in format_xml(payload)
+
+def test_strict_parse_rejects_declared_charset():
+    # -j path has no CharsetReader (cmd/root.go:311 uses xmlquery.Parse)
+    import pytest as _p
+    from xqspark.core.xmltok import XmlSyntaxError
+    with _p.raises(XmlSyntaxError):
+        to_json(b'<?xml version="1.0" encoding="iso-8859-1"?><a>x</a>')
+
+def test_detect_ascii_whitespace_only():
+    from xqspark.core.detect import detect_format
+    assert detect_format(" {\"a\":1}") == "xml"  # NBSP is not Go \s
+
+def test_nbsp_after_bare_entity_in_attr_decodes():
+    from xqspark.core.entities import unescape
+    assert unescape("&notá", in_attr=True) == "¬á"  # non-ASCII doesn't block
+
+def test_go_float_negative_zero_and_bignum():
+    from xqspark.core.fmt_json import go_float_str
+    assert go_float_str(-0.0) == "-0"
+    assert go_float_str(float(2**60)) == "1152921504606847000"
+
+def test_json_adjacent_values_error():
+    import pytest as _p
+    from xqspark.core.fmt_json import JsonSyntaxError, format_json
+    for bad in ("01", "truefalse", "1x"):
+        with _p.raises(JsonSyntaxError):
+            format_json(bad)

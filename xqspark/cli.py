@@ -104,9 +104,12 @@ def main(argv: list[str] | None = None) -> int:
         except Exception as exc:
             print(f"Error: {exc}", file=sys.stderr)
             return 1
-        if args.in_place and name != "-":
-            with open(name, "w", encoding="utf-8", errors="surrogateescape") as fh:
-                fh.write(out)
+        if args.in_place:
+            # the reference's in-place branch loops only over file names;
+            # stdin input under -i produces no output (cmd/root.go:87-109)
+            if name != "-":
+                with open(name, "w", encoding="utf-8", errors="surrogateescape") as fh:
+                    fh.write(out)
         else:
             sys.stdout.write(out)
     return 0

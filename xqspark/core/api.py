@@ -181,8 +181,17 @@ def to_json(
         import json as _json
 
         if isinstance(data, bytes):
-            data = data.decode("utf-8", errors="surrogateescape")
-        result = _json.loads(data)
+            # Go's json decoder coerces invalid UTF-8 to U+FFFD
+            data = data.decode("utf-8", errors="replace")
+
+        def _reject(const):
+            raise ValueError(f"invalid constant {const}")
+
+        # Go Decode-into-interface{}: numbers become float64, only the
+        # FIRST top-level value is read, NaN/Infinity are rejected
+        result, _end = _json.JSONDecoder(
+            parse_int=float, parse_constant=_reject
+        ).raw_decode(data.lstrip(" \t\r\n"))
     else:
         if isinstance(data, bytes):
             data = decode_payload(data)

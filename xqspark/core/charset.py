@@ -29,7 +29,7 @@ _IANA_OVERRIDES = {
 }
 
 # Go procInst(): finds `encoding=` then a quoted value (encoding/xml xml.go).
-_RE_DECL = re.compile(rb"^\s*<\?xml[ \t\r\n]", re.S)
+_RE_DECL = re.compile(rb"^(?:\xef\xbb\xbf)?[ \t\r\n]*<\?xml[ \t\r\n]", re.S)
 
 
 def _proc_inst_param(param: str, s: str) -> str:

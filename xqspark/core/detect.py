@@ -14,7 +14,8 @@ CONTENT_HTML = "html"
 CONTENT_JSON = "json"
 CONTENT_TEXT = "text"
 
-_RE_JSON = re.compile(r"^\s*[{\[]")
+# Go regexp \s is ASCII-only ([\t\n\f\r ])
+_RE_JSON = re.compile(r"^[ \t\n\f\r]*[{\[]")
 _HTML_MARKERS = ("html", "<!d", "<body")
 
 

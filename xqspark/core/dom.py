@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 
 from .charset import decode_payload
 from .xmltok import (
+    XmlSyntaxError,
     CharData,
     Comment,
     Directive,
@@ -111,9 +112,24 @@ class DomNode:
 
 
 def parse_dom(data: bytes | str, strict: bool = False) -> DomNode:
-    """Build a document tree from bytes/text. Raises XmlSyntaxError."""
+    """Build a document tree from bytes/text. Raises XmlSyntaxError.
+
+    The strict (-j) path mirrors Go's xmlquery.Parse with the DEFAULT
+    decoder: no CharsetReader, so a declared non-UTF-8 encoding is an
+    error (cmd/root.go:311), unlike the lenient -x path (utils.go:217-222).
+    """
     if isinstance(data, bytes):
-        text = decode_payload(data)
+        if strict:
+            from .charset import declared_encoding
+
+            enc = declared_encoding(data)
+            if enc and enc not in ("utf-8", "UTF-8"):
+                raise XmlSyntaxError(
+                    f'xml: encoding "{enc}" declared but Decoder.CharsetReader is nil'
+                )
+            text = data.decode("utf-8", errors="replace")
+        else:
+            text = decode_payload(data)
     else:
         text = data
 

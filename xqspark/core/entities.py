@@ -82,7 +82,12 @@ def unescape(s: str, in_attr: bool = False) -> str:
             continue
         if not match_name.endswith(";") and in_attr:
             nxt = i + len(match_name)
-            if nxt < n and (s[nxt] == "=" or s[nxt].isalnum()):
+            if nxt < n and (
+                s[nxt] == "="
+                or ("a" <= s[nxt] <= "z")
+                or ("A" <= s[nxt] <= "Z")
+                or ("0" <= s[nxt] <= "9")
+            ):
                 out.append("&")
                 continue
         out.append(_HTML5[match_name])

@@ -58,17 +58,16 @@ class _Lexer:
             return ("delim", c)
         if c == '"':
             return ("string", self._string())
-        if c == "-" or c.isdigit():
+        if c == "-" or c in "0123456789":
             return ("number", self._number())
-        if s.startswith("true", self.pos):
-            self.pos += 4
-            return ("bool", True)
-        if s.startswith("false", self.pos):
-            self.pos += 5
-            return ("bool", False)
-        if s.startswith("null", self.pos):
-            self.pos += 4
-            return ("null", None)
+        for word, tok in (("true", ("bool", True)), ("false", ("bool", False)),
+                          ("null", ("null", None))):
+            if s.startswith(word, self.pos):
+                end = self.pos + len(word)
+                if end < n and s[end] not in " \t\r\n{}[]:,\"":
+                    raise JsonSyntaxError("invalid character after literal")
+                self.pos = end
+                return tok
         raise JsonSyntaxError(f"invalid character {c!r} looking for beginning of value")
 
     def _string(self) -> str:
@@ -90,12 +89,11 @@ class _Lexer:
                 self.pos += 1
                 if e == "u":
                     hexs = s[self.pos : self.pos + 4]
-                    if len(hexs) < 4:
+                    if len(hexs) < 4 or any(
+                        c not in "0123456789abcdefABCDEF" for c in hexs
+                    ):
                         raise JsonSyntaxError("invalid \\u escape")
-                    try:
-                        cp = int(hexs, 16)
-                    except ValueError:
-                        raise JsonSyntaxError("invalid \\u escape")
+                    cp = int(hexs, 16)
                     self.pos += 4
                     if 0xD800 <= cp <= 0xDBFF and s.startswith("\\u", self.pos):
                         try:
@@ -136,36 +134,42 @@ class _Lexer:
     def _number(self) -> str:
         s, n = self.s, self.n
         start = self.pos
+        digits = "0123456789"
         if s[self.pos] == "-":
             self.pos += 1
-        if self.pos >= n or not s[self.pos].isdigit():
+        if self.pos >= n or s[self.pos] not in digits:
             raise JsonSyntaxError("invalid number")
         if s[self.pos] == "0":
             self.pos += 1
         else:
-            while self.pos < n and s[self.pos].isdigit():
+            while self.pos < n and s[self.pos] in digits:
                 self.pos += 1
         if self.pos < n and s[self.pos] == ".":
             self.pos += 1
-            if self.pos >= n or not s[self.pos].isdigit():
+            if self.pos >= n or s[self.pos] not in digits:
                 raise JsonSyntaxError("invalid number")
-            while self.pos < n and s[self.pos].isdigit():
+            while self.pos < n and s[self.pos] in digits:
                 self.pos += 1
         if self.pos < n and s[self.pos] in "eE":
             self.pos += 1
             if self.pos < n and s[self.pos] in "+-":
                 self.pos += 1
-            if self.pos >= n or not s[self.pos].isdigit():
+            if self.pos >= n or s[self.pos] not in digits:
                 raise JsonSyntaxError("invalid number")
-            while self.pos < n and s[self.pos].isdigit():
+            while self.pos < n and s[self.pos] in digits:
                 self.pos += 1
+        # Go errors on a value butted directly against the next one
+        # ("invalid character ... after top-level value")
+        if self.pos < n and s[self.pos] not in " \t\r\n{}[]:,\"":
+            raise JsonSyntaxError("invalid character after number")
         return s[start:self.pos]
 
 
 def format_json(data: bytes | str, indent: str = "  ") -> str:
     """Beautify JSON preserving number lexemes (FormatJson, utils.go:447-597)."""
     if isinstance(data, bytes):
-        data = data.decode("utf-8", errors="surrogateescape")
+        # Go's json decoder coerces invalid UTF-8 in strings to U+FFFD
+        data = data.decode("utf-8", errors="replace")
     lex = _Lexer(data)
     newline = "\n" if indent != "" else ""
     out: list[str] = []
@@ -257,7 +261,10 @@ def go_float_str(f: float) -> str:
     when exponent < -6 or >= 21)."""
     if math.isnan(f) or math.isinf(f):
         raise JsonSyntaxError("unsupported value")
-    if f == int(f) and abs(f) < 1e21:
+    if f == 0:
+        return "-0" if math.copysign(1.0, f) < 0 else "0"
+    if f == int(f) and abs(f) < 2**53:
+        # exact integers; larger integral floats use shortest-round-trip
         return str(int(f))
     r = repr(f)
     if "e" in r:
@@ -279,6 +286,9 @@ def go_float_str(f: float) -> str:
             return ("-" if neg else "") + body
         sign = "+" if iexp >= 0 else "-"
         return f"{mant}e{sign}{abs(iexp):02d}"
+    if r.endswith(".0"):
+        # Go never prints a trailing .0 for integral values
+        return r[:-2]
     return r
 
 

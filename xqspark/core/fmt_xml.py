@@ -9,7 +9,7 @@ disabled (golden tests run ColorsDisabled, utils_test.go:77).
 from __future__ import annotations
 
 from .charset import decode_payload
-from .textutil import escape_text, normalize_spaces
+from .textutil import escape_text, go_trim_space, normalize_spaces
 from .xmltok import (
     CharData,
     Comment,
@@ -59,7 +59,7 @@ def format_xml_tokens(tokens, indent: str = "  ") -> str:
     for token in tokens:
         if isinstance(token, ProcInst):
             write("<?" + token.target)
-            pi = token.inst.strip(" \t\r\n")
+            pi = go_trim_space(token.inst)
             if pi != "":
                 for attr in pi.split(" "):
                     parts = attr.split("=", 1)
