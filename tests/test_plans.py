@@ -70,3 +70,24 @@ def test_whole_stage_codegen_on_relational_path(spark):
     plan = plan_of(df)
     # codegen'd spans print as "*(n) Operator" in the executed-plan string
     assert "*(" in plan and "isFinalPlan=true" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Co-located join: two tables bucketed on the same key join with NO
+    Exchange in the plan (the 100 TB strategy for repeated key joins)."""
+    from xqspark.pipeline import write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    a = spark.range(1000).withColumnRenamed("id", "part_key")
+    b = spark.range(1000).withColumnRenamed("id", "part_key").withColumn(
+        "v", F.col("part_key") * 2
+    )
+    write_bucketed(a, "bkt_a", n_buckets=8)
+    write_bucketed(b, "bkt_b", n_buckets=8)
+    joined = spark.table("bkt_a").join(spark.table("bkt_b"), "part_key")
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange" not in plan  # bucketing makes the join co-located
+    assert joined.count() == 1000
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

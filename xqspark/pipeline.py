@@ -93,6 +93,21 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str = "part_key", n_buckets: int = 64
+) -> None:
+    """Persist a table bucketed on its join/agg key: repeated joins and
+    aggregations on ``bucket_col`` then run shuffle-free (co-located),
+    which is the 100 TB play for results/manifest/golden-compare tables
+    that are joined every round."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
 def with_host_salt(df: DataFrame, salts: int = 16) -> DataFrame:
     """url-host + deterministic salt columns for skew-defusing repartition.
 
