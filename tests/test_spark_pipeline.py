@@ -165,3 +165,19 @@ def test_extraction_modes_dispatch(spark):
         assert row["error"] is None, (mode, row["error"])
         if expect is not None:
             assert row["extracted"] == expect, mode
+
+
+def test_resume_crash_window_exactly_once(spark):
+    """Kill between the results write and the manifest write: the restart
+    re-extracts those part_keys and dynamic partition overwrite REPLACES
+    their partitions — results never duplicate."""
+    import shutil
+    out = tempfile.mkdtemp(prefix="xq_crash_")
+    try:
+        pages = synthesize_pages(spark, n_rows=300, n_hosts=10)
+        run_with_resume(pages, out, mode="xpath-single", query="//title", n_buckets=8)
+        shutil.rmtree(f"{out}/manifest")  # simulate the crash window
+        run_with_resume(pages, out, mode="xpath-single", query="//title", n_buckets=8)
+        assert spark.read.parquet(f"{out}/results").count() == 300
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
