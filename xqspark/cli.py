@@ -31,6 +31,8 @@ def build_parser(defaults) -> argparse.ArgumentParser:
         description="XML/HTML beautifier and content extractor (xq-compatible)",
     )
     p.add_argument("files", nargs="*")
+    from xqspark import __version__
+    p.add_argument("-v", "--version", action="version", version=f"xqspark {__version__}")
     p.add_argument("-x", "--xpath", default="")
     p.add_argument("-e", "--extract", default="")
     p.add_argument("-q", "--query", default="")
