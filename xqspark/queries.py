@@ -736,6 +736,88 @@ def q_ann_ivf_label_sql():
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by content hash — the
+    reproducible alternative to seeded sampling (same rows land in the
+    same split on every engine and every run)."""
+    bucket = F.conv(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 204, F.lit("train"))  # ~80%
+        .when(bucket < 230, F.lit("val"))     # ~10%
+        .otherwise(F.lit("test"))
+    )
+    return _docs(spark, sf_dir).select("doc_id", split.alias("split"))
+
+
+def q_hash_split_sql():
+    return (
+        "SELECT doc_id, CASE "
+        "WHEN CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) < 204 THEN 'train' "
+        "WHEN CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) < 230 THEN 'val' "
+        "ELSE 'test' END AS split FROM documents"
+    )
+
+
+def q_normalize_text(spark, sf_dir):
+    """Training-corpus text normalization: lowercase, strip punctuation,
+    collapse whitespace."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return _docs(spark, sf_dir).select("doc_id", norm.alias("norm_text"))
+
+
+def q_normalize_text_sql():
+    return (
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text FROM documents"
+    )
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII-style scrubbing: emails and long digit runs masked (regex
+    redaction — the standard pre-training scrub pass)."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        r"\d{6,}",
+        "<NUM>",
+    )
+    return _docs(spark, sf_dir).select("doc_id", redacted.alias("clean_text"))
+
+
+def q_redact_pii_sql():
+    return (
+        "SELECT doc_id, regexp_replace(regexp_replace(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), "
+        "'\\d{6,}', '<NUM>', 'g') AS clean_text FROM documents"
+    )
+
+
+def q_pack_chunks(spark, sf_dir):
+    """LM-training document packing: assign docs (in doc_id order) to
+    ~1024-token chunks via a running token total — the sequence-packing
+    step of a pre-training pipeline, as a window aggregate."""
+    toks = F.size(F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0)))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    running = F.sum(toks).over(w)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor((running - 1) / 1024).cast("long").alias("chunk_id"),
+    )
+
+
+def q_pack_chunks_sql():
+    return (
+        "SELECT doc_id, CAST(floor((sum(len(regexp_extract_all(trim(text), '\\S+'))) "
+        "OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 1024) AS BIGINT) AS chunk_id "
+        "FROM documents"
+    )
+
+
 _MM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -843,6 +925,10 @@ QUERIES = {
     "ann_ivf_label": q_ann_ivf_label,
     "multimodal_meta": q_multimodal_meta,
     "simhash": q_simhash,
+    "hash_split": q_hash_split,
+    "normalize_text": q_normalize_text,
+    "redact_pii": q_redact_pii,
+    "pack_chunks": q_pack_chunks,
 }
 
 ORACLES = {
@@ -876,5 +962,9 @@ ORACLES = {
     "ann_topk": q_ann_topk_sql(),
     "ann_ivf_label": q_ann_ivf_label_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
+    "hash_split": q_hash_split_sql(),
+    "normalize_text": q_normalize_text_sql(),
+    "redact_pii": q_redact_pii_sql(),
+    "pack_chunks": q_pack_chunks_sql(),
     # "simhash" is deliberately absent: xxhash64 has no SQL twin (rows-only)
 }
