@@ -75,10 +75,19 @@ def test_whole_stage_codegen_on_relational_path(spark):
 def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
     """Co-located join: two tables bucketed on the same key join with NO
     Exchange in the plan (the 100 TB strategy for repeated key joins)."""
+    import shutil
+    from urllib.parse import urlparse
+
     from xqspark.pipeline import write_bucketed
 
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # a fresh in-memory metastore can't see orphaned locations from a
+    # previous session — clear them
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     a = spark.range(1000).withColumnRenamed("id", "part_key")
     b = spark.range(1000).withColumnRenamed("id", "part_key").withColumn(
         "v", F.col("part_key") * 2
