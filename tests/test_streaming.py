@@ -27,7 +27,7 @@ def test_stream_extraction_end_to_end(spark):
         stream = read_pages_stream(spark, src)
         assert stream.isStreaming
         q = run_stream_to_parquet(stream, out, ckpt)
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
         result = spark.read.parquet(out)
         assert result.count() == 200
@@ -37,7 +37,7 @@ def test_stream_extraction_end_to_end(spark):
 
         # restart with no new files: checkpoint prevents reprocessing
         q2 = run_stream_to_parquet(read_pages_stream(spark, src), out, ckpt)
-        q2.awaitTermination(60)
+        q2.awaitTermination(300)
         assert spark.read.parquet(out).count() == 200
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -58,7 +58,7 @@ def test_windowed_lineage_plan(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         rows = spark.sql("select * from lineage_mem").collect()
         assert sum(r["docs"] for r in rows) == 100
         assert all(r["bytes"] > 0 for r in rows)
@@ -96,7 +96,7 @@ def test_stateful_dedup_across_microbatches(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        q.awaitTermination(300)
         got = spark.sql("select url from dedup_mem").collect()
         urls = [r["url"] for r in got]
         assert len(urls) == len(set(urls)), "duplicates leaked through"
