@@ -228,3 +228,50 @@ def test_charset_matrix(enc, codec, text):
     out = format_xml(payload)
     assert text in out
     assert f'encoding="{enc}"' in out
+
+
+# -- fifth review-batch regressions (tokenizer fidelity) --
+
+def test_entity_escaped_cr_survives():
+    # Go rewrites RAW \r only; &#13;/&#xD; expansions stay literal CR
+    assert format_xml("<a>x&#13;y</a>") == "<a>x\ry</a>\n"
+    assert format_xml('<a b="x&#13;y"/>') == '<a b="x&#xD;y"/>\n'
+
+
+def test_unicode_digit_charref_contained():
+    # non-ASCII digits are not entity digits; raw text kept, no crash
+    assert format_xml("<a>x&#٣;y</a>") == "<a><![CDATA[x&#٣;y]]></a>\n"
+
+
+def test_ns_mismatched_close_errors():
+    # Go popElement: Space mismatch errors even in non-strict mode
+    with pytest.raises(XmlSyntaxError):
+        format_xml('<x:a xmlns:x="u"></a>')
+
+
+def test_script_double_escape_state():
+    from xqspark.core.htmltok import HtmlTokenizer, HText
+    doc = "<script><!--<script>x('</script>')</script>--></script>"
+    toks = list(HtmlTokenizer(doc).tokens())
+    raw = next(t for t in toks if isinstance(t, HText))
+    # the inner </script> inside the double-escaped block stays text
+    assert "x('</script>')" in raw.text
+
+
+def test_self_closing_script_still_raw():
+    from xqspark.core.htmltok import HtmlTokenizer, HText
+    toks = list(HtmlTokenizer("<script/>var a = '<b>';</script>").tokens())
+    raw = next(t for t in toks if isinstance(t, HText))
+    assert "<b>" in raw.text  # not parsed as a tag
+
+
+def test_end_tag_with_quoted_gt():
+    from xqspark.core.htmltok import HEndTag, HtmlTokenizer
+    toks = list(HtmlTokenizer('<div></div a=">">tail').tokens())
+    assert any(isinstance(t, HEndTag) and t.name == "div" for t in toks)
+
+
+def test_comment_bang_terminator_data():
+    from xqspark.core.htmltok import HComment, HtmlTokenizer
+    toks = list(HtmlTokenizer("<!--a---!>rest").tokens())
+    assert isinstance(toks[0], HComment) and toks[0].data == "a-"

@@ -129,7 +129,9 @@ class HtmlTokenizer:
                         else []
                     )
                     self_closing = bool(m.group(3))
-                    if not self_closing and name in RAW_TEXT_TAGS:
+                    # x/net/html sets rawTag BEFORE the self-closing check:
+                    # <script/> still swallows raw text to </script>
+                    if name in RAW_TEXT_TAGS:
                         self.raw_tag = name
                     yield HStartTag(name, attrs, self_closing)
                     continue
@@ -190,21 +192,24 @@ class HtmlTokenizer:
             if not text:
                 return None
             return HText(_convert_newlines(text), raw=True)
-        needle = "</" + tag
-        search = self.pos
-        end = -1
-        while True:
-            idx = self._find_ci(needle, search)
-            if idx == -1:
-                end = n
-                close_start = n
-                break
-            after = idx + len(needle)
-            if after >= n or s[after] in _WS or s[after] in "/>":
-                end = idx
-                close_start = idx
-                break
-            search = idx + 1
+        if tag == "script":
+            end = close_start = self._scan_script()
+        else:
+            needle = "</" + tag
+            search = self.pos
+            end = -1
+            while True:
+                idx = self._find_ci(needle, search)
+                if idx == -1:
+                    end = n
+                    close_start = n
+                    break
+                after = idx + len(needle)
+                if after >= n or s[after] in _WS or s[after] in "/>":
+                    end = idx
+                    close_start = idx
+                    break
+                search = idx + 1
         raw_content = s[self.pos:end]
         self.pos = close_start
         self.raw_tag = ""
@@ -215,6 +220,64 @@ class HtmlTokenizer:
         if not is_raw:
             text = unescape(text)
         return HText(text, raw=is_raw)
+
+    def _scan_script(self) -> int:
+        """Script raw text with the WHATWG escape states (x/net/html
+        readScript): inside <!-- ... a nested <script> enters the
+        double-escaped state where </script> does NOT terminate the
+        element; --> leaves it. Returns the index where the real
+        </script close tag begins (or n)."""
+        s, n = self.s, self.n
+        i = self.pos
+
+        def close_matches(idx: int) -> bool:
+            after = idx + 8  # len("</script")
+            if s[idx : idx + 8].lower() != "</script":
+                return False
+            return after >= n or s[after] in _WS or s[after] in "/>"
+
+        def open_matches(idx: int) -> bool:
+            after = idx + 7  # len("<script")
+            if s[idx : idx + 7].lower() != "<script":
+                return False
+            return after >= n or s[after] in _WS or s[after] in "/>"
+
+        state = "data"
+        while i < n:
+            c = s[i]
+            if state == "data":
+                if c == "<":
+                    if s.startswith("<!--", i):
+                        state = "escaped"
+                        i += 4
+                        continue
+                    if close_matches(i):
+                        return i
+                i += 1
+            elif state == "escaped":
+                if c == "-" and s.startswith("-->", i):
+                    state = "data"
+                    i += 3
+                    continue
+                if c == "<":
+                    if open_matches(i):
+                        state = "double"
+                        i += 7
+                        continue
+                    if close_matches(i):
+                        return i
+                i += 1
+            else:  # double-escaped
+                if c == "-" and s.startswith("-->", i):
+                    state = "data"
+                    i += 3
+                    continue
+                if c == "<" and close_matches(i):
+                    state = "escaped"
+                    i += 8
+                    continue
+                i += 1
+        return n
 
     def _find_ci(self, needle: str, start: int) -> int:
         """Case-insensitive find without lowering the whole buffer each call."""
@@ -252,7 +315,8 @@ class HtmlTokenizer:
             return None  # EOF inside tag -> ErrorToken in x/net/html
         raw = s[start:self.pos]
         self_closing = raw.endswith("/>")
-        if not self_closing and name in RAW_TEXT_TAGS:
+        if name in RAW_TEXT_TAGS:
+            # set regardless of self-closing (x/net/html readStartTag)
             self.raw_tag = name
         return HStartTag(name, attrs, self_closing)
 
@@ -260,12 +324,17 @@ class HtmlTokenizer:
         s, n = self.s, self.n
         self.pos += 2  # consume '</'
         name = self._read_tag_name()
-        # Skip everything else until '>'
+        # end-tag "attributes" are parsed quote-aware and discarded
+        # (x/net/html readTag(saveAttr=false)): a '>' inside a quoted
+        # value does not end the tag
+        self._skip_ws()
         while self.pos < n:
             c = s[self.pos]
-            self.pos += 1
             if c == ">":
+                self.pos += 1
                 return HEndTag(name)
+            self._read_attr()
+            self._skip_ws()
         return None
 
     def _read_tag_name(self) -> str:
@@ -367,6 +436,12 @@ class HtmlTokenizer:
             if dash == -1:
                 raw = s[start:n]
                 data = s[start + 4 : n]
+                # EOF-truncated: trim a trailing partial terminator
+                # (x/net/html calculateAbruptCommentDataEnd)
+                if data.endswith("--"):
+                    data = data[:-2]
+                elif data.endswith("-"):
+                    data = data[:-1]
                 self.pos = n
                 return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
             j = dash + 2
@@ -380,7 +455,9 @@ class HtmlTokenizer:
                 return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
             if j + 1 < n and s[j] == "!" and s[j + 1] == ">":
                 raw = s[start : j + 2]
-                data = s[start + 4 : dash]
+                # the --!> terminator is the LAST two dashes + !>; extra
+                # dashes before it belong to the data
+                data = s[start + 4 : j - 2]
                 self.pos = j + 2
                 return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
             i = dash + 1

@@ -266,8 +266,9 @@ def parse_html(data: bytes | str) -> DomNode:
     return builder.feed(HtmlTokenizer(data).tokens())
 
 
-# keep serialization escaping in lockstep with tokenization
-_RAW_PARENTS = RAW_TEXT_TAGS
+# x/net/html Render writes raw child text ONLY for these (textarea and
+# title are RCDATA: escaped on render, entity-decoded on re-tokenize)
+_RAW_PARENTS = RAW_TEXT_TAGS - {"textarea", "title"}
 
 
 def serialize_html(node: DomNode, outer: bool = True) -> str:
@@ -276,10 +277,17 @@ def serialize_html(node: DomNode, outer: bool = True) -> str:
     out: list[str] = []
 
     def esc_text(s: str) -> str:
-        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        # x/net/html escapeString set: & ' < > " \r
+        return (
+            s.replace("&", "&amp;")
+            .replace("'", "&#39;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+            .replace('"', "&#34;")
+            .replace("\r", "&#13;")
+        )
 
-    def esc_attr(s: str) -> str:
-        return esc_text(s).replace('"', "&#34;")
+    esc_attr = esc_text
 
     def walk(n: DomNode, emit_self: bool) -> None:
         if n.type == TEXT:

@@ -224,7 +224,10 @@ class GoXmlTokenizer:
                     raise XmlSyntaxError(
                         f"illegal character code U+{ord(m_bad.group()):04X}"
                     )
-                out.append(chunk)
+                # Go rewrites \r/\r\n -> \n on RAW input only; entity
+                # expansions (&#xD;) bypass the rewrite, so it must run
+                # per raw chunk, never over decoded output.
+                out.append(_rewrite_crlf(chunk))
                 self.pos = i
             if self.pos >= n:
                 if quote is not None:
@@ -241,7 +244,7 @@ class GoXmlTokenizer:
                 break
             # ch == "&"
             out.append(self._entity())
-        return _rewrite_crlf("".join(out))
+        return "".join(out)
 
     def _entity(self) -> str:
         """Decode one &...; sequence; on failure return the raw consumed text
@@ -265,7 +268,9 @@ class GoXmlTokenizer:
                 while self.pos < self.n and self.s[self.pos] in "0123456789abcdefABCDEF":
                     self.pos += 1
             else:
-                while self.pos < self.n and self.s[self.pos].isdigit():
+                # ASCII digits only (str.isdigit accepts Unicode digits,
+                # which Go treats as a malformed entity)
+                while self.pos < self.n and "0" <= self.s[self.pos] <= "9":
                     self.pos += 1
             if self.pos >= self.n or self.s[self.pos] != ";" or self.pos == digits_start:
                 return self._entity_fail(start)
@@ -362,6 +367,13 @@ class GoXmlTokenizer:
                     self.ns[prefix] = old
             out.append(EndElement(top_name))
             if top_name.local == tok.name.local:
+                if top_name.space != tok.name.space:
+                    # Go popElement: the Space-mismatch error is NOT gated
+                    # on Strict (only the Local repair is)
+                    raise XmlSyntaxError(
+                        f"element <{top_name.local}> in space {top_name.space} "
+                        f"closed by </{tok.name.local}> in space {tok.name.space}"
+                    )
                 return out
             if self.strict:
                 raise XmlSyntaxError(
@@ -400,8 +412,8 @@ class GoXmlTokenizer:
                     StartElement(Name("", m.group(1)), attrs)
                 )
                 yield start_tok
-                if m.group(3):  # self-closing
-                    results = self._pop_element(EndElement(Name("", m.group(1))))
+                if m.group(3):  # self-closing: close with the translated name
+                    results = self._pop_element(EndElement(start_tok.name))
                     self._pending.extend(results[1:])
                     yield results[0]
                 continue
@@ -462,10 +474,12 @@ class GoXmlTokenizer:
             self.pos -= 1
             tok = self._start_tag()
             if isinstance(tok, tuple):  # self-closing: (start, end)
-                start, end_name = tok
-                yield self._push_element(start)
-                end = EndElement(end_name)
-                results = self._pop_element(end)
+                start, _end_name = tok
+                start_tok = self._push_element(start)
+                yield start_tok
+                # close with the translated start name (Go's needClose
+                # replays the element's own name)
+                results = self._pop_element(EndElement(start_tok.name))
                 self._pending.extend(results[1:])
                 yield results[0]
             else:
