@@ -275,3 +275,15 @@ def test_comment_bang_terminator_data():
     from xqspark.core.htmltok import HComment, HtmlTokenizer
     toks = list(HtmlTokenizer("<!--a---!>rest").tokens())
     assert isinstance(toks[0], HComment) and toks[0].data == "a-"
+
+
+def test_entity_output_bypasses_validation():
+    """Go's illegal-char and ]]> checks run on RAW input bytes only;
+    entity expansions bypass them (&#8; decodes to a literal \\x08)."""
+    assert format_xml("<a>x&#8;&amp;y</a>") == "<a><![CDATA[x\x08&y]]></a>\n"
+
+
+def test_cdata_end_in_quoted_attr_allowed():
+    """The ]]> prohibition is content-only (XML spec + Go's quote<0 gate);
+    attribute values may contain it."""
+    assert format_xml('<a b="]]>"/>') == '<a b="]]&gt;"/>\n'
