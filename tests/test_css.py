@@ -99,3 +99,16 @@ def test_auto_close_li():
 def test_auto_close_p():
     doc = "<p>one<p>two<div>three</div>"
     assert sel("p", doc) == ["one", "two"]
+
+
+def test_cascadia_contains():
+    doc = "<div><p>Hello World</p><p>other <b>hello</b></p></div>"
+    assert sel("p:contains('hello')", doc) == ["Hello World", "other hello"]
+    assert sel("p:containsOwn('other')", doc) == ["other hello"]
+    assert sel("b:contains('HELLO')", doc) == ["hello"]
+
+
+def test_attr_case_insensitive_flag():
+    doc = '<a href="HTTP://X/">l</a>'
+    assert sel('[href^="http" i]', doc) == ["l"]
+    assert sel('[href^="http"]', doc) == []

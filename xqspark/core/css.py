@@ -27,7 +27,8 @@ _TOK_RE = re.compile(
   | (?P<id>\#[\w-]+)
   | (?P<class>\.[\w-]+)
   | (?P<attr>\[\s*(?P<aname>{_IDENT})\s*
-      (?:(?P<aop>[~|^$*]?=)\s*(?P<aval>"[^"]*"|'[^']*'|[^\]\s]+)\s*)?\])
+      (?:(?P<aop>[~|^$*]?=)\s*(?P<aval>"[^"]*"|'[^']*'|[^\]\s]+)\s*
+         (?:(?P<aflag>[iIsS])\s*)?)?\])
   | (?P<pseudo>:{_IDENT}(\((?P<parg>[^()]*|[^()]*\([^()]*\)[^()]*)\))?)
 """,
     re.X,
@@ -71,7 +72,7 @@ def _attr_value(n: DomNode, name: str) -> str | None:
     return None
 
 
-def _make_attr_cond(name: str, op: str | None, val: str | None):
+def _make_attr_cond(name: str, op: str | None, val: str | None, flag: str | None = None):
     name = name.lower()
     if op is None:
 
@@ -80,11 +81,16 @@ def _make_attr_cond(name: str, op: str | None, val: str | None):
 
         return cond
     v = _unquote(val)
+    fold = flag is not None and flag.lower() == "i"
+    if fold:
+        v = v.lower()
 
     def cond(n):
         actual = _attr_value(n, name)
         if actual is None:
             return False
+        if fold:
+            actual = actual.lower()
         if op == "=":
             return actual == v
         if op == "~=":
@@ -186,6 +192,17 @@ def _make_pseudo_cond(name: str, arg: str | None, compile_group):
             raise CssError(":not requires an argument")
         inner = compile_group(arg)
         return lambda n: not any(_complex_matches(cpx, n) for cpx in inner)
+    if name in ("contains", "containsown"):
+        # cascadia extensions (goquery surface): case-folded substring of
+        # the element's text (own text only for :containsOwn)
+        if arg is None:
+            raise CssError(f":{name} requires an argument")
+        needle = _unquote(arg.strip()).lower()
+        if name == "contains":
+            return lambda n: needle in n.inner_text().lower()
+        return lambda n: any(
+            c.type == TEXT and needle in c.data.lower() for c in n.children
+        )
     raise CssError(f"unsupported pseudo-class :{name}")
 
 
@@ -255,7 +272,9 @@ def _compile_group(selector: str) -> list[list]:
             )
         elif kind == "attr":
             compound.conds.append(
-                _make_attr_cond(m.group("aname"), m.group("aop"), m.group("aval"))
+                _make_attr_cond(
+                    m.group("aname"), m.group("aop"), m.group("aval"), m.group("aflag")
+                )
             )
         elif kind == "pseudo":
             full = m.group("pseudo")
