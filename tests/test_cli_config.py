@@ -113,3 +113,22 @@ def test_load_config(tmp_path):
 
     missing = load_config(str(tmp_path / "missing"))
     assert missing.indent == 2
+
+
+def test_readme_examples_parity():
+    """The reference README's example invocations (README.md:25-104)."""
+    H, X = HTML.replace("unformatted", "unformatted"), XML
+    r = run("-q", "head > script", "-a", "src", H)
+    assert r.stdout == "foo.js\nbar.js\nbaz.js\n"
+    r = run("-n", "-q", "head", H)
+    assert r.stdout == (
+        "<head>\n  <title>Test</title>\n"
+        '  <script src="foo.js"></script>\n'
+        '  <script src="bar.js"></script>\n'
+        '  <script src="baz.js"></script>\n</head>\n'
+    )
+    r = run("-j", X)
+    assert '"city": "Bellville"' in r.stdout and r.stdout.startswith("{")
+    # multi-file sequential concat (cmd/root.go:116-124)
+    r = run(X, str(FIXTURES / "xml" / "unformatted5.xml"))
+    assert r.stdout.endswith("</user>\n<root/>\n")
