@@ -112,3 +112,12 @@ def test_attr_case_insensitive_flag():
     doc = '<a href="HTTP://X/">l</a>'
     assert sel('[href^="http" i]', doc) == ["l"]
     assert sel('[href^="http"]', doc) == []
+
+
+def test_attr_s_flag_rejected_like_cascadia():
+    # cascadia's parser only accepts the 'i' flag; 's' is a parse error
+    # (ADVICE r1) — selectors that fail in the reference must fail here
+    from xqspark.core.css import CssError
+    for bad in ('[href^="http" s]', '[href^="http" S]'):
+        with pytest.raises(CssError):
+            compile_css(bad)

@@ -183,3 +183,13 @@ def test_json_adjacent_values_error():
     for bad in ("01", "truefalse", "1x"):
         with _p.raises(JsonSyntaxError):
             format_json(bad)
+
+
+def test_go_float_negative_exponent_unpadded():
+    # Go encoding/json strips the leading zero from e-07..e-09 (ADVICE r1)
+    from xqspark.core.fmt_json import go_float_str
+    assert go_float_str(1e-7) == "1e-7"
+    assert go_float_str(2.5e-8) == "2.5e-8"
+    assert go_float_str(1e-10) == "1e-10"
+    assert go_float_str(1e21) == "1e+21"
+    assert go_float_str(1e-100) == "1e-100"

@@ -73,6 +73,10 @@ def _attr_value(n: DomNode, name: str) -> str | None:
 
 
 def _make_attr_cond(name: str, op: str | None, val: str | None, flag: str | None = None):
+    # cascadia recognizes only the 'i' case-fold flag (cascadia parser.go
+    # parseAttributeSelector); 's'/'S' is a parse error there, so reject it.
+    if flag is not None and flag.lower() == "s":
+        raise CssError(f"unsupported attribute selector flag {flag!r}")
     name = name.lower()
     if op is None:
 

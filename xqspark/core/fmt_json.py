@@ -284,8 +284,12 @@ def go_float_str(f: float) -> str:
             else:
                 body = digits[:point] + "." + digits[point:]
             return ("-" if neg else "") + body
-        sign = "+" if iexp >= 0 else "-"
-        return f"{mant}e{sign}{abs(iexp):02d}"
+        # Go strconv 'e' form pads positive exponents to two digits but
+        # prints negative single-digit exponents unpadded (1e-07 -> 1e-07 is
+        # wrong: Go emits 1e-07 only for |exp| >= 10; -7..-9 print as e-7)
+        if iexp < 0:
+            return f"{mant}e-{abs(iexp)}"
+        return f"{mant}e+{iexp:02d}"
     if r.endswith(".0"):
         # Go never prints a trailing .0 for integral values
         return r[:-2]

@@ -273,8 +273,14 @@ def q_charset_decl(spark, sf_dir):
         .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("UTF-8"))
         .otherwise(F.lit("iso-8859-1"))
     )
+    # doc_id % 3 == 1 rows carry a UTF-8 BOM + leading whitespace before the
+    # declaration — charset.declared_encoding tolerates both, so the
+    # vectorized sniff must too (ADVICE r1)
+    prefix = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("\ufeff \n")
+    ).otherwise(F.lit(""))
     payload = F.concat(
-        F.lit('<?xml version="1.0" encoding="'), enc, F.lit('"?><a/>')
+        prefix, F.lit('<?xml version="1.0" encoding="'), enc, F.lit('"?><a/>')
     )
     return _docs(spark, sf_dir).select(
         "doc_id", declared_charset_col(payload).alias("charset")

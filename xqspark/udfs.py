@@ -182,9 +182,11 @@ def content_type_col(col):
 def declared_charset_col(col):
     """Vectorized xml-decl charset sniff (utils.go:708-717 analog)."""
     # anchored to the XML declaration only (Go inspects just the decl,
-    # utils.go:708-717) — a bare encoding= elsewhere must not match
+    # utils.go:708-717) — a bare encoding= elsewhere must not match.
+    # Like charset.declared_encoding (_RE_DECL), tolerate an optional UTF-8
+    # BOM and leading whitespace before the declaration.
     return F.regexp_extract(
         F.substring(col.cast("string"), 1, 200),
-        "^<\\?xml[^>]*encoding=[\"']([^\"']+)[\"']",
+        "^\\ufeff?[ \\t\\r\\n]*<\\?xml[^>]*encoding=[\"']([^\"']+)[\"']",
         1,
     )
