@@ -100,3 +100,19 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
     assert "Exchange" not in plan  # bucketing makes the join co-located
     assert joined.count() == 1000
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_pack_chunks_no_global_data_window(spark):
+    """Two-phase distributed cumsum: every window sorted over the data
+    (doc_id) must be bin-partitioned; only the n_bins-row offsets table
+    may use a global window. Also: the tokenizing scan feeds ONE shared
+    exchange (ReuseExchange), not two full scans."""
+    import re
+
+    df = QUERIES["pack_chunks"](spark, SF_DIR)
+    df.collect()  # finalize AQE plan
+    plan = plan_of(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "doc_id" in line:
+            assert re.search(r"windowspecdefinition\(bin#\d+, doc_id", line), line
+    assert "Reused" in plan

@@ -181,3 +181,33 @@ def test_resume_crash_window_exactly_once(spark):
         assert spark.read.parquet(f"{out}/results").count() == 300
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_lsh_hot_band_cap(spark, tmp_path):
+    """A degenerate band (boilerplate shared by many docs) is dropped above
+    band_cap instead of going quadratic; distinct near-dup pairs survive."""
+    from xqspark.queries import lsh_pairs
+
+    boiler = "the same boilerplate text repeated on every page"
+    rows = [(i, boiler) for i in range(50)]
+    rows += [(100, "unique alpha beta gamma delta epsilon"),
+             (101, "unique alpha beta gamma delta epsilon")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    dropped = []
+    got = lsh_pairs(
+        spark, str(tmp_path), band_cap=10, on_dropped=dropped.append
+    ).collect()
+    # only the unique pair survives; both boilerplate bands were dropped
+    assert sorted((r.doc_a, r.doc_b) for r in got) == [(100, 101)]
+    assert dropped == [2]
+
+    # without the cap the hot band goes quadratic: C(50,2) + 1 pairs
+    full = lsh_pairs(spark, str(tmp_path), band_cap=10**9)
+    assert full.count() == 50 * 49 // 2 + 1
+
+    # bands x rows configurable: 3 bands of 1 row = 3 hashes
+    cfg = lsh_pairs(spark, str(tmp_path), n_bands=3, n_rows=1, band_cap=10)
+    assert sorted((r.doc_a, r.doc_b) for r in cfg.collect()) == [(100, 101)]

@@ -546,7 +546,7 @@ def q_fingerprint_sql():
     )
 
 
-def _minhash_sig(spark, sf_dir) -> DataFrame:
+def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
     """MinHash signatures over token 3-gram shingles (md5 hash family)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
@@ -564,7 +564,7 @@ def _minhash_sig(spark, sf_dir) -> DataFrame:
         F.min(F.md5(F.encode(F.concat(F.col("shingle"), F.lit(f"#{k}")), "UTF-8"))).alias(
             f"mh{k}"
         )
-        for k in range(1, 5)
+        for k in range(1, n_hashes + 1)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -586,21 +586,53 @@ def q_minhash_sig_sql():
     return _MINHASH_SQL_BODY + "SELECT doc_id, mh1, mh2, mh3, mh4 FROM sig"
 
 
-def q_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: 2 bands x 2 rows; a pair is a
-    candidate when it collides in either band (bucket-join, no n^2 scan)."""
-    sig = _minhash_sig(spark, sf_dir)
-    banded = sig.select(
-        "doc_id",
-        F.md5(F.concat("mh1", "mh2")).alias("b1"),
-        F.md5(F.concat("mh3", "mh4")).alias("b2"),
+def lsh_pairs(
+    spark,
+    sf_dir,
+    n_bands: int = 2,
+    n_rows: int = 2,
+    band_cap: int = 64,
+    on_dropped=None,
+):
+    """MinHash+LSH near-dup candidates, bands x rows configurable.
+
+    A pair is a candidate when it collides in any band (bucket-join, no
+    n^2 scan). Hot bands — the degenerate signatures that boilerplate or
+    near-empty docs share — are DROPPED above ``band_cap`` members
+    (standard LSH practice: a band with k members emits k(k-1)/2 pairs,
+    so one hot band goes quadratic). The membership count is a window
+    over the same hashpartitioning(band) the self-join needs, so the cap
+    costs no extra shuffle of the big side.
+
+    ``on_dropped(n_hot_bands)`` — optional callback (runs one extra tiny
+    action) so batch drivers can log how many bands the cap removed; None
+    skips the action entirely.
+    """
+    sig = _minhash_sig(spark, sf_dir, n_hashes=n_bands * n_rows)
+    band_exprs = [
+        F.md5(
+            F.concat(*[F.col(f"mh{b * n_rows + r + 1}") for r in range(n_rows)])
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
     )
-    bands = banded.select(
-        "doc_id", F.explode(F.array(F.col("b1"), F.col("b2"))).alias("band")
+    sized = bands.withColumn(
+        "n_band", F.count("*").over(W.partitionBy("band"))
     )
-    left = bands.alias("a")
-    right = bands.alias("b")
-    pairs = (
+    if on_dropped is not None:
+        n_hot = (
+            sized.filter(F.col("n_band") > band_cap)
+            .select("band")
+            .distinct()
+            .count()
+        )
+        on_dropped(n_hot)
+    ok = sized.filter(F.col("n_band") <= band_cap).select("doc_id", "band")
+    left = ok.alias("a")
+    right = ok.alias("b")
+    return (
         left.join(right, F.col("a.band") == F.col("b.band"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -608,15 +640,25 @@ def q_lsh_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    return pairs
 
 
-def q_lsh_pairs_sql():
+def q_lsh_pairs(spark, sf_dir):
+    return lsh_pairs(spark, sf_dir)
+
+
+def q_lsh_pairs_sql(n_bands: int = 2, n_rows: int = 2, band_cap: int = 64):
+    band_list = ", ".join(
+        "md5(" + "||".join(f"mh{b * n_rows + r + 1}" for r in range(n_rows)) + ")"
+        for b in range(n_bands)
+    )
     return (
         _MINHASH_SQL_BODY
-        + ", bands AS (SELECT doc_id, unnest([md5(mh1||mh2), md5(mh3||mh4)]) AS band FROM sig) "
+        + f", bands AS (SELECT doc_id, unnest([{band_list}]) AS band FROM sig), "
+        "ok AS (SELECT doc_id, band FROM (SELECT doc_id, band, "
+        "count(*) OVER (PARTITION BY band) AS n_band FROM bands) "
+        f"WHERE n_band <= {band_cap}) "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id"
+        "FROM ok a JOIN ok b ON a.band = b.band AND a.doc_id < b.doc_id"
     )
 
 
@@ -806,13 +848,62 @@ def q_redact_pii_sql():
 def q_pack_chunks(spark, sf_dir):
     """LM-training document packing: assign docs (in doc_id order) to
     ~1024-token chunks via a running token total — the sequence-packing
-    step of a pre-training pipeline, as a window aggregate."""
-    toks = F.size(F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0)))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    running = F.sum(toks).over(w)
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.floor((running - 1) / 1024).cast("long").alias("chunk_id"),
+    step of a pre-training pipeline.
+
+    Two-phase distributed cumulative sum (no global window): rows are
+    binned into order-preserving doc_id ranges (bin i holds strictly
+    smaller doc_ids than bin i+1, derived deterministically from min/max
+    so re-evaluation can't flip a row across bins), per-bin token
+    subtotals become broadcast prefix offsets, and the running total is
+    offset + a *bin-partitioned* window cumsum. The only global sort is
+    over the n_bins-row offsets table. Assumes roughly uniform doc_id
+    density per range (true for sequence ids); for pathological id
+    distributions swap the bin rule for repartitionByRange quantiles on
+    a persisted projection."""
+    toks = F.size(
+        F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    ).cast("long")
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("n_tok"))
+    n_bins = max(2 * spark.sparkContext.defaultParallelism, 8)
+    bounds = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    binned = (
+        docs.join(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.expr(
+                f"CAST(least({n_bins - 1}, "
+                f"(doc_id - lo) * {n_bins} div (hi - lo + 1)) AS INT)"
+            ),
+        )
+        .drop("lo", "hi")
+    )
+    # one explicit shuffle on bin; both consumers below share it via
+    # ReuseExchange, so the scan+tokenize runs once
+    w_in = W.partitionBy("bin").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    with_cum = binned.repartition(n_bins, "bin").withColumn(
+        "cum", F.sum("n_tok").over(w_in)
+    )
+    # bin totals = max(cum) per bin — groupBy reuses the bin partitioning;
+    # the only global sort is the offsets window over n_bins rows
+    offsets = (
+        with_cum.groupBy("bin")
+        .agg(F.max("cum").alias("bin_total"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bin_total").over(
+                    W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bin", "offset")
+    )
+    running = F.col("cum") + F.col("offset")
+    return with_cum.join(F.broadcast(offsets), "bin").select(
+        "doc_id", F.floor((running - 1) / 1024).cast("long").alias("chunk_id")
     )
 
 
@@ -879,24 +970,73 @@ def q_multimodal_meta_sql():
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash over tokens via xxhash64 bit votes (Spark-only;
-    xxhash64 has no DuckDB twin -> rows-only check)."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    """Full 64-bit SimHash over whitespace tokens, emitted as 4x16-bit
+    words (simhash_w0..w3) so every value fits a signed BIGINT on both
+    sides. Token hash = md5 hex prefix, which DuckDB can twin exactly
+    (('0x'||substr(md5,..))::INT), giving this op a hard oracle.
+    Repeated tokens vote repeatedly (frequency weighting); docs whose
+    trimmed text has no tokens drop out on both sides."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
     )
-    hashed = docs.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = F.md5("tok")
+    hashed = docs.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(h, 1 + 4 * w, 4), 16, 10)
+            .cast("int")
+            .alias(f"w{w}")
+            for w in range(4)
+        ],
+    )
     votes = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(16)  # 16 bits keeps the agg narrow; same pattern scales to 64
+            F.when(F.col(f"w{w}").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{w}_{b}")
+        for w in range(4)
+        for b in range(16)
     ]
     agg = hashed.groupBy("doc_id").agg(*votes)
-    sim = None
-    for b in range(16):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc_id", sim.cast("long").alias("simhash16"))
+    outs = []
+    for w in range(4):
+        word = None
+        for b in range(16):
+            bit = F.when(F.col(f"v{w}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            word = bit if word is None else word + bit
+        outs.append(word.cast("long").alias(f"simhash_w{w}"))
+    return agg.select("doc_id", *outs)
+
+
+def q_simhash_sql():
+    words = ", ".join(
+        f"('0x'||substr(m,{1 + 4 * w},4))::INT AS w{w}" for w in range(4)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (w{w} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{w}_{b}"
+        for w in range(4)
+        for b in range(16)
+    )
+    packs = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN v{w}_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+        )
+        + f")::BIGINT AS simhash_w{w}"
+        for w in range(4)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(trim(text), "
+        "'\\S+')) AS tok FROM documents), "
+        "h AS (SELECT doc_id, md5(tok) AS m FROM toks), "
+        f"wrds AS (SELECT doc_id, {words} FROM h), "
+        f"v AS (SELECT doc_id, {votes} FROM wrds GROUP BY doc_id) "
+        f"SELECT doc_id, {packs} FROM v"
+    )
 
 
 QUERIES = {
@@ -972,5 +1112,5 @@ ORACLES = {
     "normalize_text": q_normalize_text_sql(),
     "redact_pii": q_redact_pii_sql(),
     "pack_chunks": q_pack_chunks_sql(),
-    # "simhash" is deliberately absent: xxhash64 has no SQL twin (rows-only)
+    "simhash": q_simhash_sql(),
 }
