@@ -62,7 +62,7 @@ def _extract_bench(cpus: int, rows: int) -> dict:
         from xqspark.pipeline import with_host_salt, with_part_key
 
         pre = (
-            with_part_key(with_host_salt(pages, 16), 64)
+            with_part_key(with_host_salt(pages), 64)
             .select("url", "html", "host", "salt", "part_key")
             .repartition(cpus * 2, "host", "salt")
             .persist()
@@ -126,6 +126,7 @@ def _headline_bench(sf_dir: str, cpus: int) -> dict:
         # extraction throughput on a synthetic pages table at bench scale
         ext = _extract_inproc(spark, rows=60000)
         timings["extract_60k_pages"] = ext["seconds"]
+        skew = skew_ratio(spark)
     finally:
         spark.stop()
     total = round(sum(timings.values()), 3)
@@ -137,6 +138,7 @@ def _headline_bench(sf_dir: str, cpus: int) -> dict:
         "sf": sf_dir,
         "cpus": cpus,
         "extract_docs_per_sec": ext["docs_per_sec"],
+        "task_skew": skew,
     }
 
 
@@ -183,6 +185,44 @@ def _extract_inproc(spark, rows: int) -> dict:
     pages.unpersist()
     docs = int(sum(r["docs"] for r in lin))
     return {"docs": docs, "seconds": round(seconds, 3), "docs_per_sec": round(docs / seconds, 1)}
+
+
+def skew_ratio(spark, rows: int = 20000) -> dict:
+    """max/median per-partition extraction time on the Zipf-skewed corpus:
+    the proof that salted repartitioning actually levels hot hosts (an
+    unsalted partitioning puts the top host's whole tail in one task).
+    One output row per partition via mapInPandas."""
+    import statistics
+
+    import pandas as pd
+
+    from xqspark.pipeline import synthesize_pages, with_host_salt, with_part_key
+
+    pages = synthesize_pages(spark, n_rows=rows, n_hosts=100)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = (
+        with_part_key(with_host_salt(pages), 64)
+        .select("url", "html", "host", "salt")
+        .repartition(nparts, "host", "salt")
+    )
+
+    def timed(batches):
+        from xqspark.core.api import xpath_query
+
+        t0 = time.perf_counter()
+        n = 0
+        for b in batches:
+            for payload in b["html"]:
+                xpath_query(bytes(payload), "//title", True)
+                n += 1
+        yield pd.DataFrame({"n": [n], "sec": [time.perf_counter() - t0]})
+
+    res = df.mapInPandas(timed, "n long, sec double").collect()
+    times = sorted(r["sec"] for r in res if r["n"] > 0)
+    return {
+        "partitions": len(times),
+        "max_over_median_task_time": round(times[-1] / statistics.median(times), 2),
+    }
 
 
 def _mp_ceiling(procs_pairs=((1, 4), (8, 32))) -> dict:

@@ -24,7 +24,7 @@ def main() -> None:
     parser.add_argument("--mode", default="xpath-single")
     parser.add_argument("--query", default="//title")
     parser.add_argument("--buckets", type=int, default=256)
-    parser.add_argument("--salts", type=int, default=16)
+    parser.add_argument("--salts", type=int, default=None)
     args = parser.parse_args()
 
     spark = (

@@ -1,0 +1,86 @@
+"""Pure-Python image header parsing (public PNG/T.81 specs): correct
+dims on valid containers, None (never an exception) on everything else."""
+
+import pytest
+
+from xqspark.multimodal import PNG_SIG, parse_image_meta, pixel_decode_stub
+
+
+def png(w, h):
+    return (
+        PNG_SIG
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+        + b"\xde\xad\xbe\xef"
+    )
+
+
+def jpeg(w, h, extra_segments=0):
+    out = b"\xff\xd8"
+    for _ in range(extra_segments):  # APPn/comment segments before SOF
+        out += b"\xff\xe1" + (8).to_bytes(2, "big") + b"abcdef"
+    out += (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return out + b"\xff\xd9"
+
+
+def test_png_dims():
+    assert parse_image_meta(png(640, 480)) == ("png", 640, 480)
+    assert parse_image_meta(png(1, 1)) == ("png", 1, 1)
+    assert parse_image_meta(png(70000, 3)) == ("png", 70000, 3)  # >16 bits
+
+
+def test_jpeg_dims_walks_segments():
+    assert parse_image_meta(jpeg(800, 600)) == ("jpeg", 800, 600)
+    assert parse_image_meta(jpeg(31, 17, extra_segments=3)) == ("jpeg", 31, 17)
+
+
+def test_jpeg_progressive_sof2():
+    blob = b"\xff\xd8\xff\xc2" + (17).to_bytes(2, "big") + b"\x08" + (
+        9
+    ).to_bytes(2, "big") + (7).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    assert parse_image_meta(blob) == ("jpeg", 7, 9)
+
+
+def test_containment_never_raises():
+    cases = [
+        None,
+        b"",
+        b"plain text",
+        PNG_SIG,                      # truncated after signature
+        PNG_SIG + b"\x00\x00",        # truncated IHDR
+        PNG_SIG + b"\x00\x00\x00\x0dIDAT" + b"\x00" * 12,  # wrong first chunk
+        b"\xff\xd8",                  # bare SOI
+        b"\xff\xd8\xff\xd9",          # SOI+EOI, no SOF
+        b"\xff\xd8\xff\xe0\x00\x01",  # segment length < 2
+        b"\xff\xd8\x00\x00",          # marker without FF
+        jpeg(1, 1)[:-6],              # truncated mid-SOF -> still parses hdr
+        b"\xff\xd8\xff\xc0\x00\x11\x08\x00",  # SOF truncated before dims
+    ]
+    for blob in cases:
+        parse_image_meta(blob)  # must not raise
+
+
+def test_dht_is_not_a_frame_header():
+    # C4 (DHT) must be skipped, then the real SOF0 read
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + (5).to_bytes(2, "big") + b"abc"
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (2).to_bytes(2, "big") + (3).to_bytes(2, "big") + b"\x00" * 10
+    )
+    assert parse_image_meta(blob) == ("jpeg", 3, 2)
+
+
+def test_pixel_decode_is_a_declared_stub():
+    with pytest.raises(NotImplementedError):
+        pixel_decode_stub(b"\x00")

@@ -211,3 +211,15 @@ def test_lsh_hot_band_cap(spark, tmp_path):
     # bands x rows configurable: 3 bands of 1 row = 3 hashes
     cfg = lsh_pairs(spark, str(tmp_path), n_bands=3, n_rows=1, band_cap=10)
     assert sorted((r.doc_a, r.doc_b) for r in cfg.collect()) == [(100, 101)]
+
+
+def test_salted_skew_ratio_bounded(spark):
+    """On the Zipf corpus, salted repartition keeps max/median per-task
+    extraction time under 3x (VERDICT r1 #7)."""
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from bench import skew_ratio
+
+    stats = skew_ratio(spark, rows=8000)
+    assert stats["partitions"] > 4
+    assert stats["max_over_median_task_time"] < 3.0, stats

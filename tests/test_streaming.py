@@ -103,3 +103,83 @@ def test_stateful_dedup_across_microbatches(spark):
         assert len(urls) == 120  # 100 originals + 20 fresh, 50 dups dropped
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_bloom_state_bounded_100k_urls_one_host():
+    """10^5 distinct urls on ONE host: state stays at exactly
+    2 x bloom_bits/8 bytes (rotating generations), recent re-seen urls
+    still dedupe, and false-positive loss is tiny (VERDICT r1 #6)."""
+    from xqspark.streaming import _bloom_add, _bloom_has, _bloom_indexes
+
+    bits = 1 << 20
+    n_bytes = bits >> 3
+    capacity = bits // 16
+    cur, prev, n_cur = bytearray(n_bytes), bytes(n_bytes), 0
+    passed = rotations = 0
+    for i in range(100_000):
+        idxs = _bloom_indexes(f"http://big.example.com/page{i}", bits)
+        if _bloom_has(cur, idxs) or _bloom_has(prev, idxs):
+            continue
+        _bloom_add(cur, idxs)
+        n_cur += 1
+        if n_cur >= capacity:
+            prev, cur, n_cur = bytes(cur), bytearray(n_bytes), 0
+            rotations += 1
+        passed += 1
+    assert len(cur) + len(prev) == 2 * n_bytes  # bounded, by construction
+    assert rotations == 1  # 100k inserts through a 65536 capacity
+    assert passed >= 99_000  # false positives are the only loss
+    # a url seen in the CURRENT generation stays deduped
+    idxs = _bloom_indexes("http://big.example.com/page99999", bits)
+    assert _bloom_has(cur, idxs) or _bloom_has(prev, idxs)
+
+
+def test_dedup_stream_rotation_through_operator(spark):
+    """Small bloom forces generation rotation inside the real
+    applyInPandasWithState operator; exact duplicates still drop."""
+    from xqspark.streaming import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="xq_dedup_rot_")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    try:
+        rows = [
+            (f"http://one.example.com/p{i}", None, b"<x/>", "x", "en")
+            for i in range(3000)
+        ]
+        df = spark.createDataFrame(rows, schema=synthesize_pages(spark, n_rows=1).schema)
+        df.coalesce(1).write.parquet(src)
+        # batch 2: the 500 most RECENT urls (still inside the current/
+        # previous generations -> must drop) + 100 fresh. Urls older than
+        # two generations age out and may re-pass — that is the designed
+        # sliding-generation trade, so they are not replayed here.
+        fresh = [
+            (f"http://one.example.com/fresh{i}", None, b"<x/>", "x", "en")
+            for i in range(100)
+        ]
+        spark.createDataFrame(rows[-500:] + fresh, schema=df.schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # capacity = 16384/16 = 1024 -> multiple rotations over 3000 urls
+        deduped = dedup_stream(stream, bloom_bits=1 << 14)
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_rot_mem")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        urls = [r["url"] for r in spark.sql("select url from dedup_rot_mem").collect()]
+        assert len(urls) == len(set(urls)), "recent duplicates leaked"
+        n_fresh = sum(1 for u in urls if "/fresh" in u)
+        assert n_fresh >= 98  # fresh urls pass (minus rare bloom FP)
+        assert sum(1 for u in urls if "/p" in u) >= 2900  # batch-1 originals
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

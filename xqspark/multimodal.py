@@ -1,0 +1,74 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+The decode here is a pure-Python struct read of PUBLIC container formats
+(PNG: W3C PNG spec, 8-byte signature + IHDR chunk; JPEG: ITU-T T.81
+marker segments, dimensions from the first SOFn frame header) — no image
+libraries. Full pixel decode / resize / frame-sample are feature
+extraction, not metadata, and stay stubbed in this container (see
+``pixel_decode_stub``); the Spark-side plumbing (binary column schema,
+Arrow batching, nullable outputs) is the real thing.
+"""
+
+from __future__ import annotations
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# SOFn markers that carry frame dimensions (T.81 table B.1). C4=DHT,
+# C8=JPG extension, CC=DAC are not frame headers.
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_meta(data: bytes | None) -> tuple[str, int, int] | None:
+    """(format, width, height) from a binary payload, or None when the
+    payload is not a recognizable image (malformed input must never
+    raise — containment is the contract at 10^12 blobs)."""
+    if not data:
+        return None
+    if data[:8] == PNG_SIG:
+        # signature + IHDR length(4) + type(4) must be first chunk
+        if len(data) >= 24 and data[12:16] == b"IHDR":
+            w = int.from_bytes(data[16:20], "big")
+            h = int.from_bytes(data[20:24], "big")
+            return ("png", w, h)
+        return None
+    if data[:2] == b"\xff\xd8":
+        return _jpeg_dims(data)
+    return None
+
+
+def _jpeg_dims(data: bytes) -> tuple[str, int, int] | None:
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        if seglen < 2:
+            return None
+        if marker in _SOF_MARKERS:
+            # payload: precision(1) height(2) width(2) ...
+            if i + 9 > n:
+                return None
+            h = int.from_bytes(data[i + 5 : i + 7], "big")
+            w = int.from_bytes(data[i + 7 : i + 9], "big")
+            return ("jpeg", w, h)
+        i += 2 + seglen
+    return None
+
+
+def pixel_decode_stub(data: bytes) -> None:
+    """Pixel-level decode needs an image library this container doesn't
+    ship; the metadata path above never calls this."""
+    raise NotImplementedError(
+        "pixel decode is out of scope here — plug in an image library "
+        "and swap this stub"
+    )

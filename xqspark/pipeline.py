@@ -108,12 +108,19 @@ def write_bucketed(
     )
 
 
-def with_host_salt(df: DataFrame, salts: int = 16) -> DataFrame:
+def with_host_salt(df: DataFrame, salts: int | None = None) -> DataFrame:
     """url-host + deterministic salt columns for skew-defusing repartition.
 
     parse_url and xxhash64 are built-in (JVM-side, codegen'd); the salt is
     keyed on the full url so one hot host spreads over `salts` partitions.
+    ``salts=None`` scales with the session: 2x shuffle partitions, so a
+    single dominant host can cover every task slot of any cluster size
+    (a fixed 16 caps a hot host at 16 partitions on 1000 executors).
     """
+    if salts is None:
+        salts = 2 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     return df.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST"))).withColumn(
         "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salts))
     )
@@ -157,7 +164,7 @@ def extract_pages(
     mode: str = "xpath",
     query: str = "//body",
     indent: str = "  ",
-    salts: int = 16,
+    salts: int | None = None,
     n_buckets: int = 256,
     repartition_to: int | None = None,
 ) -> DataFrame:
@@ -229,7 +236,7 @@ def run_with_resume(
     mode: str = "xpath",
     query: str = "//body",
     n_buckets: int = 64,
-    salts: int = 16,
+    salts: int | None = None,
 ) -> dict:
     """Checkpointed extraction: part_keys already present in the manifest
     are skipped (left-anti join); each wave appends results + manifest.

@@ -919,53 +919,147 @@ _MM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("head_byte", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
     ]
 )
 
+_PNG_BLOB_BYTES = 33  # sig(8) + len(4) + IHDR(4) + w(4) + h(4) + ihdr tail(5) + crc(4)
+_JPEG_BLOB_BYTES = 41  # SOI(2) + APP0(18) + SOF0(19) + EOI(2)
+
 
 def q_multimodal_meta(spark, sf_dir):
-    """Multimodal plumbing: treat a binary payload as an opaque blob and
-    run a (stubbed) decode/feature pass in mapInPandas. The real decode
-    (image/audio libs) is deliberately stubbed; schema, batching, and
-    partitioning are the real thing."""
-    df = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
+    """Multimodal decode: binary image blobs synthesized JVM-side per row
+    (real PNG signature+IHDR / JPEG SOI+APP0+SOF0 containers, dimensions
+    derived from doc_id), parsed back by pure-Python struct reads of the
+    public format specs in mapInPandas. Every third row is a non-image
+    payload the decoder must contain (fmt='unknown', null dims) rather
+    than crash on."""
+    from xqspark.multimodal import parse_image_meta
 
-    def decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    w = (F.pmod(F.col("doc_id"), F.lit(640)) + 16).cast("int")
+    h = (F.pmod(F.col("doc_id"), F.lit(480)) + 9).cast("int")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("0806000000DEADBEEF"),
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+        F.lpad(F.hex(h), 4, "0"),
+        F.lpad(F.hex(w), 4, "0"),
+        F.lit("03012200021101031101FFD9"),
+    )
+    blob = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.unhex(png_hex))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.unhex(jpeg_hex))
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+    )
+    df = _docs(spark, sf_dir).select("doc_id", blob.alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            ids, sizes, heads = [], [], []
+            ids, sizes, fmts, ws, hs = [], [], [], [], []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 ids.append(doc_id)
                 if payload is None:
                     sizes.append(0)
-                    heads.append(None)
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
                     continue
                 data = bytes(payload)
                 sizes.append(len(data))
-                text = data.decode("utf-8", "surrogateescape")
-                # first-character code point (oracle: DuckDB ascii() returns
-                # the code point of the first character)
-                heads.append(ord(text[0]) if text else None)
+                meta = parse_image_meta(data)
+                if meta is None:
+                    fmts.append("unknown")
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    fmts.append(meta[0])
+                    ws.append(meta[1])
+                    hs.append(meta[2])
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "n_bytes": pd.Series(sizes, dtype="int64"),
-                    # nullable Int32: None head_byte (empty payload) must not
-                    # kill the task
-                    "head_byte": pd.Series(heads, dtype="Int32"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    # nullable Int32: unknown-format dims must not kill the task
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
                 }
             )
 
-    return df.mapInPandas(decode_stub, _MM_SCHEMA)
+    return df.mapInPandas(decode, _MM_SCHEMA)
 
 
 def q_multimodal_meta_sql():
     return (
-        "SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, "
-        "CASE WHEN length(text) = 0 THEN NULL "
-        "ELSE ascii(substring(text, 1, 1)) END::INTEGER AS head_byte FROM documents"
+        "SELECT doc_id, "
+        f"CASE doc_id % 3 WHEN 0 THEN {_PNG_BLOB_BYTES} WHEN 1 THEN "
+        f"{_JPEG_BLOB_BYTES} ELSE octet_length(encode(text)) END::BIGINT AS n_bytes, "
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+        "ELSE 'unknown' END AS fmt, "
+        "CASE WHEN doc_id % 3 IN (0, 1) THEN doc_id % 640 + 16 END::INTEGER AS width, "
+        "CASE WHEN doc_id % 3 IN (0, 1) THEN doc_id % 480 + 9 END::INTEGER AS height "
+        "FROM documents"
+    )
+
+
+def q_error_containment(spark, sf_dir):
+    """Adversarial containment through the REAL extraction path: 3 of
+    every 4 payloads are hostile (truncated XML -> unexpected EOF, '<'
+    inside a quoted attr -> lenient-mode error, NULL payload -> 'empty')
+    and must land in the per-row error column — never a task failure.
+    The oracle recomputes per-bucket doc/error/byte counts from doc_id
+    arithmetic, so a single uncontained row flips the hash."""
+    from xqspark.pipeline import extract_pages
+
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    payload = (
+        F.when(
+            m == 0,
+            F.concat(F.lit("<doc><t>"), F.col("source"), F.lit("</t></doc>")),
+        )
+        .when(m == 1, F.concat(F.lit("<doc><t>"), F.col("source")))
+        .when(m == 2, F.lit('<doc x="<"><t>v</t></doc>'))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://b"),
+            F.pmod(F.col("doc_id"), F.lit(16)),
+            F.lit(".example.com/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        payload.cast("binary").alias("html"),
+    )
+    ext = extract_pages(pages, mode="xpath", query="//t")
+    bucket = F.regexp_extract("url", r"http://b(\d+)\.", 1).cast("int")
+    return (
+        ext.select(bucket.alias("bucket"), "error", "n_bytes", "extracted")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("error").alias("n_errors"),
+            F.count("extracted").alias("n_ok"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )
+
+
+def q_error_containment_sql():
+    return (
+        "SELECT (doc_id % 16)::INTEGER AS bucket, count(*)::BIGINT AS n_docs, "
+        "sum(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_errors, "
+        "sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ok, "
+        "sum(CASE doc_id % 4 "
+        "WHEN 0 THEN octet_length(encode('<doc><t>' || source || '</t></doc>')) "
+        "WHEN 1 THEN octet_length(encode('<doc><t>' || source)) "
+        "WHEN 2 THEN 25 ELSE 0 END)::BIGINT AS total_bytes "
+        "FROM documents GROUP BY doc_id % 16"
     )
 
 
@@ -1070,6 +1164,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf_label": q_ann_ivf_label,
     "multimodal_meta": q_multimodal_meta,
+    "error_containment": q_error_containment,
     "simhash": q_simhash,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
@@ -1108,6 +1203,7 @@ ORACLES = {
     "ann_topk": q_ann_topk_sql(),
     "ann_ivf_label": q_ann_ivf_label_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
+    "error_containment": q_error_containment_sql(),
     "hash_split": q_hash_split_sql(),
     "normalize_text": q_normalize_text_sql(),
     "redact_pii": q_redact_pii_sql(),

@@ -36,7 +36,7 @@ def extract_stream(
     pages: DataFrame,
     mode: str = "xpath-single",
     query: str = "//title",
-    salts: int = 16,
+    salts: int | None = None,
     n_buckets: int = 256,
 ) -> DataFrame:
     """Streaming extraction: same UDF path as batch, no shuffle before the
@@ -66,13 +66,48 @@ def windowed_lineage(
     )
 
 
-def dedup_stream(pages: DataFrame, ttl_minutes: int = 0) -> DataFrame:
-    """Custom stateful operator: cross-microbatch first-seen URL dedup,
-    keyed by url-host, via applyInPandasWithState. Per host the state
-    holds a seen-set of url hashes; only first-seen rows pass through —
-    the streaming analog of dropDuplicates with bounded state.
+def _bloom_indexes(url: str, n_bits: int, k: int = 4) -> list[int]:
+    """k bit positions from an md5 digest — deterministic across
+    processes/restarts (builtin hash() depends on PYTHONHASHSEED and
+    would silently invalidate persisted state)."""
+    import hashlib
 
-    ttl_minutes > 0 enables ProcessingTimeTimeout state eviction for
+    d = hashlib.md5(url.encode("utf-8", "surrogateescape")).digest()
+    return [
+        int.from_bytes(d[4 * i : 4 * i + 4], "big") % n_bits for i in range(k)
+    ]
+
+
+def _bloom_has(buf, idxs) -> bool:
+    return all(buf[i >> 3] & (1 << (i & 7)) for i in idxs)
+
+
+def _bloom_add(buf: bytearray, idxs) -> None:
+    for i in idxs:
+        buf[i >> 3] |= 1 << (i & 7)
+
+
+def dedup_stream(
+    pages: DataFrame,
+    ttl_minutes: int = 0,
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 4,
+) -> DataFrame:
+    """Custom stateful operator: cross-microbatch first-seen URL dedup,
+    keyed by url-host, via applyInPandasWithState.
+
+    State per host is BOUNDED at 2 x bloom_bits/8 bytes regardless of how
+    many URLs the host has seen: two rotating-generation Bloom filters
+    (current + previous). When the current generation reaches its
+    capacity (bloom_bits/16 inserts ~= 0.25 fill at k=4, ~0.2% false-
+    positive rate), it rotates to previous and a fresh one starts —
+    membership checks consult both, so recently-seen URLs keep deduping
+    while ancient ones age out (sliding-generation semantics). A false
+    positive drops a never-seen URL as a duplicate; at crawl scale that
+    trade (0.2% loss for O(1) state on a 10^8-url host) is the standard
+    one. For exact small-scale dedup use batch `dedup_groups`.
+
+    ttl_minutes > 0 adds ProcessingTimeTimeout whole-state eviction for
     long-running continuous jobs. Leave it 0 for availableNow/batch-drain
     runs: with a processing-time timeout, Spark keeps scheduling
     "no new data but cleaning up state" batches until the TTL fires,
@@ -89,37 +124,44 @@ def dedup_stream(pages: DataFrame, ttl_minutes: int = 0) -> DataFrame:
             T.StructField("lang", T.StringType()),
         ]
     )
-    # full 16-byte digests (not truncated ints): collisions would silently
-    # drop distinct URLs as "duplicates"
     state_schema = T.StructType(
-        [T.StructField("seen", T.ArrayType(T.BinaryType()))]
+        [
+            T.StructField("cur", T.BinaryType()),
+            T.StructField("prev", T.BinaryType()),
+            T.StructField("n_cur", T.LongType()),
+        ]
     )
-
-    import hashlib
-
-    def _url_hash(url: str) -> bytes:
-        # deterministic across processes/restarts (builtin hash() depends
-        # on PYTHONHASHSEED and would silently invalidate persisted state)
-        return hashlib.md5(url.encode("utf-8", "surrogateescape")).digest()
+    capacity = max(1, bloom_bits // 16)
+    n_bytes = bloom_bits >> 3
 
     def dedup(key, batches, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        seen = set(bytes(b) for b in state.get[0]) if state.exists else set()
+        if state.exists:
+            cur_b, prev_b, n_cur = state.get
+            cur = bytearray(cur_b)
+            prev = bytes(prev_b)
+        else:
+            cur, prev, n_cur = bytearray(n_bytes), bytes(n_bytes), 0
         for batch in batches:
             mask = []
             for url in batch["url"]:
-                h = _url_hash(url)
-                if h in seen:
+                idxs = _bloom_indexes(url, bloom_bits, bloom_hashes)
+                if _bloom_has(cur, idxs) or _bloom_has(prev, idxs):
                     mask.append(False)
-                else:
-                    seen.add(h)
-                    mask.append(True)
+                    continue
+                _bloom_add(cur, idxs)
+                n_cur += 1
+                if n_cur >= capacity:  # rotate generations
+                    prev = bytes(cur)
+                    cur = bytearray(n_bytes)
+                    n_cur = 0
+                mask.append(True)
             fresh = batch[pd.Series(mask, index=batch.index)]
             if len(fresh):
                 yield fresh[["url", "warc_ts", "html", "lang"]]
-        state.update((list(seen),))
+        state.update((bytes(cur), prev, n_cur))
         if ttl_minutes > 0:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)
 
