@@ -1,0 +1,137 @@
+"""Adoption agency + foster parenting: expected trees derived from the
+WHATWG spec (13.2.6.4.7 / 13.2.6.1 examples) and x/net/html's documented
+behavior — the markup classes where goquery-based xq and a naive nesting
+builder disagree. Reference: internal/utils/utils.go:286 (goquery parse)."""
+
+from xqspark.core.css import compile_css
+from xqspark.core.htmltree import parse_html, serialize_html
+
+
+def body_html(doc):
+    tree = parse_html(doc)
+
+    def find(n, name):
+        if n.type == "element" and n.data == name:
+            return n
+        for c in n.children:
+            r = find(c, name)
+            if r is not None:
+                return r
+
+    return serialize_html(find(tree, "body"), outer=False)
+
+
+def sel_texts(selector, doc):
+    return [n.inner_text() for n in compile_css(selector).select(parse_html(doc))]
+
+
+def test_adoption_simple_bi():
+    assert body_html("<b><i>x</b>y</i>") == "<b><i>x</i></b><i>y</i>"
+
+
+def test_adoption_inside_paragraph():
+    assert (
+        body_html("<p>1<b>2<i>3</b>4</i>5</p>")
+        == "<p>1<b>2<i>3</i></b><i>4</i>5</p>"
+    )
+
+
+def test_formatting_reconstructed_across_paragraphs():
+    assert (
+        body_html("<p><b>x</p><p>y</p>") == "<p><b>x</b></p><p><b>y</b></p>"
+    )
+    # CSS sees the reconstructed <b> in the second paragraph
+    assert sel_texts("p > b", "<p><b>x</p><p>y</p>") == ["x", "y"]
+
+
+def test_adoption_spec_example_a_div():
+    # the WHATWG spec's worked example for the adoption agency
+    assert (
+        body_html("<a>1<div>2<div>3</a>4</div>5</div>")
+        == "<a>1</a><div><a>2</a><div><a>3</a>4</div>5</div>"
+    )
+
+
+def test_second_a_adopts_first():
+    assert body_html("<a>x<a>y</a>") == "<a>x</a><a>y</a>"
+
+
+def test_nobr_closes_open_nobr():
+    assert body_html("<nobr>a<nobr>b") == "<nobr>a</nobr><nobr>b</nobr>"
+
+
+def test_noahs_ark_caps_reconstruction_at_three():
+    # 4 identical <b>s left open; reconstruction after </p> re-opens 3
+    doc = "<p><b><b><b><b>x</p>y"
+    out = body_html(doc)
+    assert out.count("<b>") == 4 + 3
+
+
+def test_foster_parent_stray_table_text():
+    assert (
+        body_html("<table><tr><td>ok</td></tr>oops</table>")
+        == "oops<table><tbody><tr><td>ok</td></tr></tbody></table>"
+    )
+
+
+def test_foster_parent_div_in_table():
+    assert (
+        body_html("<table><div>d</div><tr><td>c</td></tr></table>")
+        == "<div>d</div><table><tbody><tr><td>c</td></tr></tbody></table>"
+    )
+
+
+def test_whitespace_in_table_not_fostered():
+    assert (
+        body_html("<table> <tr><td>c</td></tr></table>")
+        == "<table> <tbody><tr><td>c</td></tr></tbody></table>"
+    )
+
+
+def test_implied_tbody_and_colgroup():
+    assert (
+        body_html("<table><tr><td>x</td></tr></table>")
+        == "<table><tbody><tr><td>x</td></tr></tbody></table>"
+    )
+    assert sel_texts("table > tbody > tr > td", "<table><tr><td>x</td></tr></table>") == ["x"]
+    assert "<colgroup><col/></colgroup>" in body_html("<table><col><tr><td>x</td></tr></table>")
+
+
+def test_implied_tbody_tr_for_bare_cell():
+    assert (
+        body_html("<table><td>x</td></table>")
+        == "<table><tbody><tr><td>x</td></tr></tbody></table>"
+    )
+
+
+def test_stray_cell_outside_table_ignored():
+    assert body_html("<div><td>x</td></div>") == "<div>x</div>"
+    assert body_html("<tr><td>y") == "y"
+
+
+def test_end_br_inserts_br():
+    assert body_html("x</br>y") == "x<br/>y"
+
+
+def test_any_other_end_tag_stops_at_special():
+    # </div> may not reach through an open <table> (special element)
+    out = body_html("<div><table><tr><td>a</div>b</td></tr></table></div>")
+    assert "<div>" in out and "a" in out and "b" in out
+    # the stray </div> was ignored: b stays inside the cell
+    assert sel_texts("td", "<div><table><tr><td>a</div>b</td></tr></table></div>") == ["ab"]
+
+
+def test_formatting_through_table_fostered():
+    # <b> opened before stray table content is reconstructed when text is
+    # fostered out of the table
+    out = body_html("<table><b>x<tr><td>c</td></tr></table>")
+    assert out.startswith("<b>x</b>")
+
+
+def test_marker_stops_reconstruction_across_cells():
+    # formatting opened inside a cell must not leak past the cell (marker)
+    doc = "<table><tr><td><b>x</td><td>y</td></tr></table>z"
+    out = body_html(doc)
+    assert "<td><b>x</b></td>" in out
+    assert "<td>y</td>" in out  # no reconstructed <b> in next cell
+    assert out.endswith("z")  # ...nor around trailing text

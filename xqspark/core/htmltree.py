@@ -1,11 +1,21 @@
-"""HTML5 tree builder — implied-tag subset of WHATWG tree construction.
+"""HTML5 tree builder — WHATWG tree construction for the crawl-relevant
+insertion modes.
 
 Equivalent of the reference's goquery.NewDocumentFromReader
-(internal/utils/utils.go:286), which builds a full WHATWG tree: implied
-<html>/<head>/<body> insertion makes ``body > p`` match fragment-ish
-inputs. This builder covers the implied-structure and auto-closing rules
-that matter for Common-Crawl-style pages: unclosed <p>/<li>/<td>...,
-stray end tags, head-content routing, raw-text elements.
+(internal/utils/utils.go:286), which builds a full WHATWG tree via
+x/net/html: implied <html>/<head>/<body> insertion makes ``body > p``
+match fragment-ish inputs. This builder covers implied structure,
+auto-closing (<p>/<li>/<td>...), head-content routing, raw-text
+elements, AND the two algorithms that decide what misnested real-web
+markup means:
+
+- the list of ACTIVE FORMATTING ELEMENTS with reconstruction + the
+  ADOPTION AGENCY algorithm (WHATWG 13.2.6.4.7 "in body"; x/net/html
+  parse.go inBodyEndTagFormatting), so <b><i>x</b>y</i> produces the
+  spec tree (b>(i>x), i>y), not plain nesting;
+- FOSTER PARENTING (x/net/html fosterParent): content that may not sit
+  inside table/tbody/tfoot/thead/tr is re-parented before the table,
+  plus implied tbody/tr/colgroup wrappers.
 
 Reuses DomNode so the CSS engine and serializers share one node type.
 """
@@ -39,12 +49,15 @@ _SIBLING_CLOSERS = {
     "li": ("li",),
     "dd": ("dd", "dt"),
     "dt": ("dd", "dt"),
-    "tr": ("tr", "td", "th"),
+    # a new row/section closes the whole open row/section: the scan pops
+    # THROUGH open cells/rows down to the nearest matching element
+    # (deleting stack[i:] takes the cells with it), stopping at table scope
+    "tr": ("tr",),
     "td": ("td", "th"),
     "th": ("td", "th"),
-    "thead": ("thead", "tbody", "tfoot", "tr", "td", "th"),
-    "tbody": ("thead", "tbody", "tfoot", "tr", "td", "th"),
-    "tfoot": ("thead", "tbody", "tfoot", "tr", "td", "th"),
+    "thead": ("thead", "tbody", "tfoot"),
+    "tbody": ("thead", "tbody", "tfoot"),
+    "tfoot": ("thead", "tbody", "tfoot"),
     "option": ("option",),
     "optgroup": ("option", "optgroup"),
 }
@@ -80,9 +93,71 @@ _HEAD_ONLY = frozenset(
     ("title", "base", "basefont", "bgsound", "meta", "link", "style", "script", "noscript")
 )
 
+# WHATWG formatting elements (tracked in the active formatting list)
+_FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+
+# "has an element in (default) scope" stop list (WHATWG 13.2.4.2)
+_DEFAULT_SCOPE_STOPS = frozenset(
+    ("applet", "caption", "html", "table", "td", "th", "marquee", "object", "template")
+)
+
+# elements that insert a marker into the active formatting list
+_MARKER_TAGS = frozenset(("applet", "marquee", "object", "td", "th", "caption", "template"))
+
+# nodes whose direct content is re-parented when illegal (fosterParent)
+_TABLE_CTX = frozenset(("table", "tbody", "tfoot", "thead", "tr"))
+
+_ALLOWED_IN_TABLE_CTX = {
+    "table": frozenset(
+        ("caption", "colgroup", "col", "thead", "tbody", "tfoot", "tr", "td",
+         "th", "script", "style", "template", "form")
+    ),
+    "tbody": frozenset(("tr", "td", "th", "script", "style", "template")),
+    "thead": frozenset(("tr", "td", "th", "script", "style", "template")),
+    "tfoot": frozenset(("tr", "td", "th", "script", "style", "template")),
+    "tr": frozenset(("td", "th", "script", "style", "template")),
+}
+
+# table-structure tags: stray ones with no open table are ignored in body
+# (WHATWG "in body": caption/col/colgroup/tbody/td/tfoot/th/thead/tr ->
+# parse error, ignore)
+_TABLE_STRUCTURE = frozenset(
+    ("caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr")
+)
+
+# table-scoped end tags keep pop-through-to-match semantics (their
+# insertion modes close open cells/rows on the way); everything else uses
+# the "any other end tag" special-element stop rule
+_TABLE_END = frozenset(
+    ("table", "td", "th", "tr", "tbody", "thead", "tfoot", "caption", "colgroup")
+)
+
+
+class _Marker:
+    __slots__ = ()
+
+    def __repr__(self):  # pragma: no cover
+        return "<afe-marker>"
+
+
+_MARKER = _Marker()
+
+
+def _detach(node: DomNode) -> None:
+    parent = node.parent
+    if parent is not None:
+        for i, c in enumerate(parent.children):
+            if c is node:
+                del parent.children[i]
+                break
+        node.parent = None
+
 
 class HtmlTreeBuilder:
-    """Stack-of-open-elements builder with implied html/head/body."""
+    """Stack-of-open-elements builder with implied html/head/body,
+    active-formatting reconstruction, adoption agency, foster parenting."""
 
     def __init__(self):
         self.doc = DomNode(DOCUMENT)
@@ -90,6 +165,7 @@ class HtmlTreeBuilder:
         self.head: DomNode | None = None
         self.body: DomNode | None = None
         self.stack: list[DomNode] = []
+        self.afe: list = []  # DomNode | _MARKER
 
     def _current(self) -> DomNode:
         return self.stack[-1] if self.stack else self.doc
@@ -162,6 +238,263 @@ class HtmlTreeBuilder:
         if name in _HEADINGS and self.stack and self.stack[-1].data in _HEADINGS:
             self.stack.pop()
 
+    # --- active formatting elements ------------------------------------
+
+    def _afe_index(self, node) -> int:
+        for i, e in enumerate(self.afe):
+            if e is node:
+                return i
+        return -1
+
+    def _afe_remove(self, node) -> None:
+        i = self._afe_index(node)
+        if i != -1:
+            del self.afe[i]
+
+    def _afe_push(self, node: DomNode) -> None:
+        # Noah's Ark clause: at most 3 entries with same name+attrs since
+        # the last marker; the earliest of them is evicted
+        count = 0
+        sig = {(a.local, a.value) for a in node.attrs}
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e is _MARKER:
+                break
+            if (
+                e.data == node.data
+                and len(e.attrs) == len(node.attrs)
+                and {(a.local, a.value) for a in e.attrs} == sig
+            ):
+                count += 1
+                if count == 3:
+                    del self.afe[i]
+                    break
+        self.afe.append(node)
+
+    def _clear_afe_to_marker(self) -> None:
+        while self.afe:
+            e = self.afe.pop()
+            if e is _MARKER:
+                return
+
+    def _clone(self, node: DomNode) -> DomNode:
+        clone = DomNode(ELEMENT, node.data)
+        clone.attrs = [DomAttr(a.space, a.local, a.value, a.prefix) for a in node.attrs]
+        return clone
+
+    def _reconstruct_afe(self) -> None:
+        """WHATWG "reconstruct the active formatting elements": re-open
+        formatting elements that were popped (e.g. by an implied </p>)
+        but are still active, cloning them at the insertion point."""
+        if not self.afe:
+            return
+        last = self.afe[-1]
+        if last is _MARKER or self._on_stack(last):
+            return
+        i = len(self.afe) - 1
+        while i > 0:
+            e = self.afe[i - 1]
+            if e is _MARKER or self._on_stack(e):
+                break
+            i -= 1
+        for j in range(i, len(self.afe)):
+            clone = self._clone(self.afe[j])
+            self._insert_element(clone)
+            self.afe[j] = clone
+
+    # --- insertion (foster-parenting aware) -----------------------------
+
+    def _insert_element(self, element: DomNode, push: bool = True) -> None:
+        cur = self._current()
+        if (
+            cur.data in _TABLE_CTX
+            and cur.type == ELEMENT
+            and element.data not in _ALLOWED_IN_TABLE_CTX.get(cur.data, ())
+        ):
+            self._foster_insert(element)
+        else:
+            cur.append(element)
+        if push:
+            self.stack.append(element)
+
+    def _insert_text_node(self, text: str) -> None:
+        cur = self._current()
+        if cur.data in _TABLE_CTX and cur.type == ELEMENT and text.strip() != "":
+            self._foster_insert(DomNode(TEXT, text))
+        else:
+            cur.append(DomNode(TEXT, text))
+
+    def _foster_insert(self, node: DomNode) -> None:
+        """Insert before the last <table> on the stack (x/net/html
+        fosterParent): the WHATWG home for content a table can't hold."""
+        table_idx = -1
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].data == "table":
+                table_idx = i
+                break
+        if table_idx == -1:
+            (self.body or self._current()).append(node)
+            return
+        table = self.stack[table_idx]
+        parent = table.parent
+        if parent is not None:
+            _detach(node)
+            node.parent = parent
+            for i, c in enumerate(parent.children):
+                if c is table:
+                    parent.children.insert(i, node)
+                    return
+        self.stack[table_idx - 1].append(node)
+
+    def _clear_to_table_context(self, name: str) -> None:
+        """WHATWG clearStackToContext: before inserting table structure,
+        pop open elements (fostered divs, formatting, open cells/rows/
+        sections) down to the nearest enclosing context element."""
+        if name == "col":
+            ctx = ("colgroup", "table")
+        elif name in ("tbody", "tfoot", "thead", "caption", "colgroup"):
+            ctx = ("table",)
+        elif name == "tr":
+            ctx = ("tbody", "tfoot", "thead", "table")
+        else:  # td, th
+            ctx = ("tr", "tbody", "tfoot", "thead", "table")
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            if node.data in ctx or node is self.body or node is self.html:
+                del self.stack[i + 1 :]
+                return
+
+    def _imply_table_wrappers(self, name: str) -> None:
+        """tr in table -> implied tbody; td/th -> implied tbody+tr;
+        col in table -> implied colgroup (the "act as if" insertions of
+        the table insertion modes)."""
+        cur = self._current()
+        if name in ("td", "th"):
+            if cur.data == "table":
+                self._insert_element(DomNode(ELEMENT, "tbody"))
+                cur = self._current()
+            if cur.data in ("tbody", "thead", "tfoot"):
+                self._insert_element(DomNode(ELEMENT, "tr"))
+        elif name == "tr" and cur.data == "table":
+            self._insert_element(DomNode(ELEMENT, "tbody"))
+        elif name == "col" and cur.data == "table":
+            self._insert_element(DomNode(ELEMENT, "colgroup"))
+
+    # --- scope / stack helpers ------------------------------------------
+
+    def _stack_index(self, node) -> int:
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i] is node:
+                return i
+        return -1
+
+    def _node_in_default_scope(self, target: DomNode) -> bool:
+        for node in reversed(self.stack):
+            if node is target:
+                return True
+            if node.data in _DEFAULT_SCOPE_STOPS:
+                return False
+        return False
+
+    def _name_in_default_scope(self, name: str) -> bool:
+        for node in reversed(self.stack):
+            if node.data == name:
+                return True
+            if node.data in _DEFAULT_SCOPE_STOPS:
+                return False
+        return False
+
+    def _has_open_table(self) -> bool:
+        return any(n.data == "table" for n in self.stack)
+
+    # --- adoption agency --------------------------------------------------
+
+    def _adoption_agency(self, name: str) -> None:
+        """WHATWG 13.2.6.4.7 adoption agency algorithm for a formatting
+        end tag (x/net/html parse.go inBodyEndTagFormatting parity)."""
+        cur = self._current()
+        if cur.data == name and self._afe_index(cur) == -1:
+            # current node is the subject but isn't active: plain pop
+            self.stack.pop()
+            return
+        for _ in range(8):  # outer loop
+            fe = None
+            for e in reversed(self.afe):
+                if e is _MARKER:
+                    break
+                if e.data == name:
+                    fe = e
+                    break
+            if fe is None:
+                self._any_other_end_tag(name)
+                return
+            fe_idx = self._stack_index(fe)
+            if fe_idx == -1:
+                self._afe_remove(fe)  # parse error: active but not open
+                return
+            if not self._node_in_default_scope(fe):
+                return  # parse error: ignore the token
+            # furthest block: lowest special element above fe on the stack
+            fb = None
+            for node in self.stack[fe_idx + 1 :]:
+                if node.data in _SPECIAL:
+                    fb = node
+                    break
+            if fb is None:
+                del self.stack[fe_idx:]
+                self._afe_remove(fe)
+                return
+            common = self.stack[fe_idx - 1]
+            bookmark = self._afe_index(fe)
+            last_node = fb
+            node = fb
+            x = self._stack_index(node)
+            j = 0
+            while True:  # inner loop
+                j += 1
+                x -= 1
+                node = self.stack[x]
+                if node is fe:
+                    break
+                ai = self._afe_index(node)
+                if j > 3 and ai != -1:
+                    del self.afe[ai]
+                    if ai < bookmark:
+                        bookmark -= 1
+                    ai = -1
+                if ai == -1:
+                    del self.stack[x]
+                    continue
+                clone = self._clone(node)
+                self.afe[ai] = clone
+                self.stack[x] = clone
+                node = clone
+                if last_node is fb:
+                    bookmark = self._afe_index(node) + 1
+                _detach(last_node)
+                node.append(last_node)
+                last_node = node
+            _detach(last_node)
+            if common.data in _TABLE_CTX:
+                self._foster_insert(last_node)
+            else:
+                common.append(last_node)
+            clone = self._clone(fe)
+            for c in list(fb.children):
+                _detach(c)
+                clone.append(c)
+            fb.append(clone)
+            old = self._afe_index(fe)
+            if old != -1:
+                if old < bookmark:
+                    bookmark -= 1
+                del self.afe[old]
+            self.afe.insert(bookmark, clone)
+            fe_pos = self._stack_index(fe)
+            if fe_pos != -1:
+                del self.stack[fe_pos]
+            self.stack.insert(self._stack_index(fb) + 1, clone)
+
     def feed(self, tokens) -> DomNode:
         for tok in tokens:
             if isinstance(tok, HDoctype):
@@ -193,7 +526,11 @@ class HtmlTreeBuilder:
                 if tok.text.strip() == "":
                     return  # whitespace before body is dropped
                 self._open_body()
-        self._current().append(DomNode(TEXT, tok.text))
+            else:
+                cur.append(DomNode(TEXT, tok.text))
+                return
+        self._reconstruct_afe()
+        self._insert_text_node(tok.text)
 
     def _start_tag(self, tok: HStartTag) -> None:
         name = tok.name
@@ -226,14 +563,61 @@ class HtmlTreeBuilder:
                 self.stack.append(element)
             return
         self._open_body()
-        self._auto_close(name)
-        self._current().append(element)
-        if (
+        push = (
             name not in VOID_TAGS
             and name not in _IMMEDIATE_POP
             and not tok.self_closing
-        ):
-            self.stack.append(element)
+        )
+        if name in _FORMATTING:
+            if name == "a":
+                # "in body" <a>: an <a> still active since the last marker
+                # is adopted out first (WHATWG parse error recovery)
+                prev_a = None
+                for e in reversed(self.afe):
+                    if e is _MARKER:
+                        break
+                    if e.data == "a":
+                        prev_a = e
+                        break
+                if prev_a is not None:
+                    self._adoption_agency("a")
+                    self._afe_remove(prev_a)
+                    i = self._stack_index(prev_a)
+                    if i != -1:
+                        del self.stack[i]
+            elif name == "nobr" and self._name_in_default_scope("nobr"):
+                self._adoption_agency("nobr")
+            self._reconstruct_afe()
+            self._insert_element(element, push=push)
+            if push:
+                self._afe_push(element)
+            return
+        if name in ("applet", "marquee", "object"):
+            self._reconstruct_afe()
+            self._insert_element(element, push=push)
+            if push:
+                self.afe.append(_MARKER)
+            return
+        if name in _TABLE_STRUCTURE:
+            if not self._has_open_table():
+                return  # WHATWG "in body": stray table structure is ignored
+            self._clear_to_table_context(name)
+            self._imply_table_wrappers(name)
+            self._insert_element(element, push=push)
+            if push and name in _MARKER_TAGS:
+                self.afe.append(_MARKER)
+            return
+        if name == "button" and self._name_in_default_scope("button"):
+            # implied </button>
+            for i in range(len(self.stack) - 1, -1, -1):
+                if self.stack[i].data == "button":
+                    del self.stack[i:]
+                    break
+        if name not in _SPECIAL or name == "button":
+            # "any other start tag" (and button): reconstruct formatting
+            self._reconstruct_afe()
+        self._auto_close(name)
+        self._insert_element(element, push=push)
 
     def _end_tag(self, name: str) -> None:
         if name == "head":
@@ -244,6 +628,33 @@ class HtmlTreeBuilder:
             if self.body is not None:
                 self.stack = [self.html, self.body]
             return
+        if name == "br":
+            # WHATWG: </br> is treated as <br>
+            self._open_body()
+            self._reconstruct_afe()
+            self._insert_element(DomNode(ELEMENT, "br"), push=False)
+            return
+        if name in _FORMATTING:
+            self._adoption_agency(name)
+            return
+        if name in ("applet", "marquee", "object") or name in _TABLE_END:
+            # pop-through-to-match (these insertion modes close open
+            # cells/rows on the way out), then drop formatting scope
+            for i in range(len(self.stack) - 1, -1, -1):
+                node = self.stack[i]
+                if node is self.html or node is self.body or node is self.head:
+                    break
+                if node.data == name:
+                    del self.stack[i:]
+                    if name in _MARKER_TAGS or name in ("applet", "marquee", "object"):
+                        self._clear_afe_to_marker()
+                    return
+            return  # stray: ignored
+        self._any_other_end_tag(name)
+
+    def _any_other_end_tag(self, name: str) -> None:
+        """WHATWG "any other end tag": pop to the match, but a special
+        element in the way means the token is ignored."""
         for i in range(len(self.stack) - 1, -1, -1):
             node = self.stack[i]
             if node is self.html or node is self.body or node is self.head:
@@ -251,10 +662,13 @@ class HtmlTreeBuilder:
             if node.data == name:
                 del self.stack[i:]
                 return
+            if node.data in _SPECIAL:
+                return  # parse error: ignore
         if name == "p":
             # WHATWG: </p> with no open p synthesizes an empty <p>
             self._open_body()
-            self._current().append(DomNode(ELEMENT, "p"))
+            self._reconstruct_afe()
+            self._insert_element(DomNode(ELEMENT, "p"), push=False)
             return
         # stray end tag: ignored
 

@@ -1008,6 +1008,42 @@ def q_multimodal_meta_sql():
     )
 
 
+def q_css_misnested(spark, sf_dir):
+    """CSS selection on MISNESTED real-web markup: the adoption agency
+    must rebuild <p><b>x<i>S</b>S!</i> into p > [b > (x, i > S), i > S!]
+    (so `p > i` matches the reconstructed element), and foster parenting
+    must hoist stray table text before the table (so the div's text
+    starts with it). Both are silently wrong under naive plain nesting."""
+    from xqspark.udfs import make_css_values_udf
+
+    udf_adopted = make_css_values_udf("p > i")
+    udf_fostered = make_css_values_udf("body > div")
+    html1 = F.concat(
+        F.lit("<html><body><p><b>x<i>"),
+        F.col("source"),
+        F.lit("</b>"),
+        F.col("source"),
+        F.lit("!</i></p></body></html>"),
+    )
+    html2 = F.concat(
+        F.lit("<html><body><div><table><tr><td>x</td></tr>"),
+        F.col("source"),
+        F.lit("</table></div></body></html>"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(udf_adopted(html1.cast("binary")), 1).alias("adopted"),
+        F.element_at(udf_fostered(html2.cast("binary")), 1).alias("fostered"),
+    )
+
+
+def q_css_misnested_sql():
+    return (
+        "SELECT doc_id, source || '!' AS adopted, source || 'x' AS fostered "
+        "FROM documents"
+    )
+
+
 def q_error_containment(spark, sf_dir):
     """Adversarial containment through the REAL extraction path: 3 of
     every 4 payloads are hostile (truncated XML -> unexpected EOF, '<'
@@ -1164,6 +1200,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf_label": q_ann_ivf_label,
     "multimodal_meta": q_multimodal_meta,
+    "css_misnested": q_css_misnested,
     "error_containment": q_error_containment,
     "simhash": q_simhash,
     "hash_split": q_hash_split,
@@ -1203,6 +1240,7 @@ ORACLES = {
     "ann_topk": q_ann_topk_sql(),
     "ann_ivf_label": q_ann_ivf_label_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
+    "css_misnested": q_css_misnested_sql(),
     "error_containment": q_error_containment_sql(),
     "hash_split": q_hash_split_sql(),
     "normalize_text": q_normalize_text_sql(),
