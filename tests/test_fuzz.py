@@ -124,3 +124,34 @@ def test_xml_format_reparses(doc):
     except XmlSyntaxError:
         return
     format_xml(out)  # must not raise
+
+
+def test_fused_formatter_differential():
+    """The fused fast path must be byte-identical (output AND errors) to
+    the general token path on a randomized construct soup."""
+    import random
+
+    from xqspark.core.fmt_xml import format_xml, format_xml_tokens
+    from xqspark.core.xmltok import GoXmlTokenizer, XmlSyntaxError
+
+    def general(text):
+        return format_xml_tokens(GoXmlTokenizer(text, strict=False).tokens(), "  ")
+
+    random.seed(1234)
+    frag = ['<a>', '</a>', '<b x="1">', '</b>', 'text', ' ', '\n', '  ',
+            '<c/>', '<d y="v w">', '</d>', '&amp;', '&bad', '<e:f>', '</e:f>',
+            '<!-- c -->', '<?pi a="b"?>', '<![CDATA[x]]>', '<g xmlns="u">',
+            '</g>', 'tail  ', '\n  ', 'x&#65;y', '<h i="a&quot;b">', '</h>',
+            '<!DOCTYPE r>', '\t', ']]>', '<k >', '</k >', '<m a="1" b="2">',
+            '</m>', 'unicodeü', '\x85', '\v', '<n><n>', '</n></n>']
+    for _ in range(1500):
+        doc = "".join(random.choice(frag) for _ in range(random.randint(1, 12)))
+        try:
+            want, werr = general(doc), None
+        except XmlSyntaxError as e:
+            want, werr = None, str(e)
+        try:
+            got, gerr = format_xml(doc), None
+        except XmlSyntaxError as e:
+            got, gerr = None, str(e)
+        assert (want, werr) == (got, gerr), repr(doc)
