@@ -155,3 +155,48 @@ def test_fused_formatter_differential():
         except XmlSyntaxError as e:
             got, gerr = None, str(e)
         assert (want, werr) == (got, gerr), repr(doc)
+
+
+def test_fused_dom_parse_differential():
+    """The fused DOM fast path must produce structurally identical trees
+    (and identical errors) to the general token loop, strict and lenient."""
+    import random
+
+    from xqspark.core import dom as dommod
+    from xqspark.core.dom import parse_dom
+    from xqspark.core.xmltok import XmlSyntaxError
+
+    def tree_sig(n):
+        return (n.type, n.data, n.prefix, n.namespace,
+                tuple((a.space, a.local, a.value, a.prefix) for a in n.attrs),
+                n.order, n.cdata, n.pi_inst,
+                tuple(tree_sig(c) for c in n.children))
+
+    def general(text, strict):
+        orig = dommod._parse_dom_fast
+        dommod._parse_dom_fast = lambda s: (_ for _ in ()).throw(dommod._DomFallback())
+        try:
+            return parse_dom(text, strict)
+        finally:
+            dommod._parse_dom_fast = orig
+
+    random.seed(99)
+    frag = ['<a>', '</a>', '<b x="1">', '</b>', 'text', ' ', '\n', '<c/>',
+            '<d y="v w">', '</d>', '&amp;', '&bad', '<e:f>', '</e:f>',
+            '<!-- c -->', '<?pi a="b"?>', '<![CDATA[x]]>', '<g xmlns="u">',
+            '</g>', 'x&#65;y', '<h i="a&quot;b">', '</h>', '<!DOCTYPE r>',
+            ']]>', '<k >', '</k >', '<m a="1" b="2">', '</m>', '<n><n>',
+            '</n></n>', '<p q="tab\there">', '</p>', '\x85', '-->',
+            '<!--a-b-->']
+    for strict in (False, True):
+        for _ in range(1200):
+            doc = "".join(random.choice(frag) for _ in range(random.randint(1, 10)))
+            try:
+                want, werr = tree_sig(general(doc, strict)), None
+            except XmlSyntaxError as e:
+                want, werr = None, str(e)
+            try:
+                got, gerr = tree_sig(parse_dom(doc, strict)), None
+            except XmlSyntaxError as e:
+                got, gerr = None, str(e)
+            assert (want, werr) == (got, gerr), (strict, repr(doc))

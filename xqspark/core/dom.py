@@ -111,6 +111,109 @@ class DomNode:
         return f"<DomNode {self.type} {self.full_name()!r}>"
 
 
+class _DomFallback(Exception):
+    """Input uses a construct outside the fused DOM fast path."""
+
+
+import re as _re
+
+# Fused tokenize+build token shapes: ASCII colon-free names, double-quoted
+# attribute values without entities/CR (kept raw in the DOM), entity-free
+# text, PIs, comments, simple directives. Everything else falls back to
+# the general Go-faithful token loop on the same input (namespaces,
+# entities, CDATA, mismatched/unquoted constructs, malformed input).
+_DOM_TOKEN = _re.compile(
+    r"(?:<(?P<start>[A-Za-z_][A-Za-z0-9_.\-]*)"
+    r"(?P<attrs>(?:[ \t\n]+[A-Za-z_][A-Za-z0-9_.\-]*="
+    "\"[^\"&<\\r\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]*\")*)"
+    r"[ \t\n]*(?P<selfclose>/?)>)"
+    r"|(?P<text>[^<&]+)"
+    r"|(?:</(?P<end>[A-Za-z_][A-Za-z0-9_.\-]*)[ \t\n]*>)"
+    r"|(?:<\?(?P<pi>[A-Za-z_][A-Za-z0-9_:.\-]*))"
+    r"|(?:<!--(?P<comment>(?:[^-]|-(?!->))*)-->)"
+    r"|(?:<!(?P<directive>[A-Za-z][^>'\"<\[]*)>)"
+)
+_DOM_TEXT_BAD = _re.compile(r"[\r\x00-\x08\x0b\x0c\x0e-\x1f]|\]\]>")
+_DOM_ATTR = _re.compile(r"([A-Za-z_][A-Za-z0-9_.\-]*)=\"([^\"]*)\"")
+
+
+def _parse_dom_fast(s: str) -> DomNode:
+    """Regex-driven fused tokenizer+DOM builder: no token objects, order
+    assigned at creation (streaming build IS pre-order). Raises
+    _DomFallback on anything outside the fast subset; the caller reruns
+    the general path, so tree shape and error behavior are unchanged."""
+    doc = DomNode(DOCUMENT)
+    current = doc
+    order = 0
+    pos = 0
+    n = len(s)
+    match = _DOM_TOKEN.match
+    bad_text = _DOM_TEXT_BAD.search
+    attr_findall = _DOM_ATTR.findall
+    while pos < n:
+        m = match(s, pos)
+        if m is None:
+            raise _DomFallback
+        pos = m.end()
+        name = m.group("start")
+        if name is not None:
+            node = DomNode(ELEMENT, name)
+            node.order = order
+            order += 1
+            attrs_raw = m.group("attrs")
+            if attrs_raw:
+                if "xmlns" in attrs_raw:
+                    raise _DomFallback  # namespace machinery: general path
+                node.attrs = [
+                    DomAttr("", k, v) for k, v in attr_findall(attrs_raw)
+                ]
+            current.append(node)
+            if not m.group("selfclose"):
+                current = node
+            continue
+        t = m.group("text")
+        if t is not None:
+            if bad_text(t):
+                raise _DomFallback
+            node = DomNode(TEXT, t)
+            node.order = order
+            order += 1
+            current.append(node)
+            continue
+        name = m.group("end")
+        if name is not None:
+            if current.type != ELEMENT or current.data != name:
+                raise _DomFallback  # mismatch: repair/error in general path
+            current = current.parent
+            continue
+        target = m.group("pi")
+        if target is not None:
+            idx = s.find("?>", pos)
+            if idx == -1:
+                raise _DomFallback
+            inst = s[pos:idx].lstrip(" \t\r\n")
+            pos = idx + 2
+            kind = DECLARATION if target == "xml" else PI
+            node = DomNode(kind, target)
+            node.pi_inst = inst
+            node.order = order
+            order += 1
+            current.append(node)
+            continue
+        if m.group("comment") is not None:
+            node = DomNode(COMMENT, m.group("comment"))
+            node.order = order
+            order += 1
+            current.append(node)
+            continue
+        if m.group("directive") is not None:
+            continue  # parse_dom skips directives
+        raise _DomFallback  # unreachable
+    if current is not doc:
+        raise _DomFallback  # unexpected EOF: general path raises
+    return doc
+
+
 def parse_dom(data: bytes | str, strict: bool = False) -> DomNode:
     """Build a document tree from bytes/text. Raises XmlSyntaxError.
 
@@ -132,6 +235,14 @@ def parse_dom(data: bytes | str, strict: bool = False) -> DomNode:
             text = decode_payload(data)
     else:
         text = data
+
+    # fused fast path: within its subset, strict and lenient agree (every
+    # strict-only error construct — entities, unquoted attrs, mismatched
+    # closes — falls back)
+    try:
+        return _parse_dom_fast(text)
+    except _DomFallback:
+        pass
 
     doc = DomNode(DOCUMENT)
     current = doc
