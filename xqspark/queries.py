@@ -784,6 +784,37 @@ def q_ann_ivf_label_sql():
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: self-join bucketed on the
+    coarse-quantizer label (near-dups share a coarse bucket — the IVF
+    trick again), JVM-side cosine via zip_with/aggregate, threshold on
+    the rounded similarity so both engines agree at the boundary. At
+    100 TB this is a label-partitioned equi-join, never an all-pairs
+    cross join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("qv"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("nv"), "label"
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(F.expr(_COSINE_EXPR), 4).alias("sim")
+    )
+    return scored.filter(F.col("sim") >= 0.35)
+
+
+def q_embedding_neardup_sql():
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(a.v, b.v), 4) AS sim "
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        "WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35"
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by content hash — the
     reproducible alternative to seeded sampling (same rows land in the
@@ -1199,6 +1230,7 @@ QUERIES = {
     "jaccard_adjacent": q_jaccard_adjacent,
     "ann_topk": q_ann_topk,
     "ann_ivf_label": q_ann_ivf_label,
+    "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "css_misnested": q_css_misnested,
     "error_containment": q_error_containment,
@@ -1239,6 +1271,7 @@ ORACLES = {
     "jaccard_adjacent": q_jaccard_adjacent_sql(),
     "ann_topk": q_ann_topk_sql(),
     "ann_ivf_label": q_ann_ivf_label_sql(),
+    "embedding_neardup": q_embedding_neardup_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
     "css_misnested": q_css_misnested_sql(),
     "error_containment": q_error_containment_sql(),
