@@ -135,3 +135,50 @@ def test_marker_stops_reconstruction_across_cells():
     assert "<td><b>x</b></td>" in out
     assert "<td>y</td>" in out  # no reconstructed <b> in next cell
     assert out.endswith("z")  # ...nor around trailing text
+
+
+def test_block_in_formatting_adoption():
+    # <b><p> — block becomes the furthest block; text after </b> unbolded
+    assert (
+        body_html("<b><p>x</b>y</p>")
+        == "<b></b><p><b>x</b>y</p>"
+    )
+
+
+def test_nested_tables():
+    out = body_html(
+        "<table><tr><td><table><tr><td>inner</td></tr></table></td></tr></table>"
+    )
+    assert out == (
+        "<table><tbody><tr><td>"
+        "<table><tbody><tr><td>inner</td></tr></tbody></table>"
+        "</td></tr></tbody></table>"
+    )
+
+
+def test_caption_holds_content_and_marker():
+    out = body_html("<table><caption><b>t</caption><tr><td>c</td></tr></table>z")
+    assert "<caption><b>t</b></caption>" in out
+    assert out.endswith("z")  # <b> does not leak past the caption marker
+
+
+def test_tree_builder_never_raises_on_soup():
+    """10k random tag soups: parse_html must always return a tree, never
+    raise, never hang — per-row containment is the 10^12-doc contract."""
+    import random
+
+    random.seed(31337)
+    frag = ["<b>", "</b>", "<i>", "</i>", "<a href='x'>", "</a>", "<p>",
+            "</p>", "<div>", "</div>", "<table>", "</table>", "<tr>",
+            "</tr>", "<td>", "</td>", "<li>", "<ul>", "</ul>", "text ",
+            "<nobr>", "</nobr>", "<span>", "</span>", "<em>", "</em>",
+            "</caption>", "<caption>", "<col>", "<colgroup>", "</colgroup>",
+            "<thead>", "</thead>", "<button>", "</button>", "<br>", "</br>",
+            "<marquee>", "</marquee>", "<object>", "</object>", "<h1>",
+            "</h2>", "<option>", "<select>", "</select>", "<form>", "</form>",
+            "<script>", "</script>", "<style>", "</style>", "<!--c-->",
+            "<img>", "<input>", "<dd>", "<dt>", "<dl>", "</dl>"]
+    for _ in range(10_000):
+        doc = "".join(random.choice(frag) for _ in range(random.randint(1, 25)))
+        tree = parse_html(doc)  # must not raise
+        serialize_html(tree)    # nor the serializer

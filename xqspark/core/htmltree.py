@@ -496,17 +496,22 @@ class HtmlTreeBuilder:
             self.stack.insert(self._stack_index(fb) + 1, clone)
 
     def feed(self, tokens) -> DomNode:
+        # exact-class dispatch: token classes are final, and this loop is
+        # the per-document hot path
+        start_tag = self._start_tag
+        text = self._text
+        end_tag = self._end_tag
         for tok in tokens:
-            if isinstance(tok, HDoctype):
-                continue
-            if isinstance(tok, HComment):
+            cls = tok.__class__
+            if cls is HStartTag:
+                start_tag(tok)
+            elif cls is HText:
+                text(tok)
+            elif cls is HEndTag:
+                end_tag(tok.name)
+            elif cls is HComment:
                 self._current().append(DomNode(COMMENT, tok.data))
-            elif isinstance(tok, HText):
-                self._text(tok)
-            elif isinstance(tok, HStartTag):
-                self._start_tag(tok)
-            elif isinstance(tok, HEndTag):
-                self._end_tag(tok.name)
+            # HDoctype: skipped
         idx = 0
         for n in self.doc.iter_descendants():
             n.order = idx
