@@ -155,8 +155,11 @@ def _parse_dom_fast(s: str) -> DomNode:
         if m is None:
             raise _DomFallback
         pos = m.end()
-        name = m.group("start")
-        if name is not None:
+        # lastgroup identifies the alternative in one attribute access
+        # ("selfclose" is the trailing group of the start-tag branch)
+        kind = m.lastgroup
+        if kind == "selfclose":
+            name = m.group("start")
             node = DomNode(ELEMENT, name)
             node.order = order
             order += 1
@@ -171,8 +174,8 @@ def _parse_dom_fast(s: str) -> DomNode:
             if not m.group("selfclose"):
                 current = node
             continue
-        t = m.group("text")
-        if t is not None:
+        if kind == "text":
+            t = m.group("text")
             if bad_text(t):
                 raise _DomFallback
             node = DomNode(TEXT, t)
@@ -180,14 +183,14 @@ def _parse_dom_fast(s: str) -> DomNode:
             order += 1
             current.append(node)
             continue
-        name = m.group("end")
-        if name is not None:
+        if kind == "end":
+            name = m.group("end")
             if current.type != ELEMENT or current.data != name:
                 raise _DomFallback  # mismatch: repair/error in general path
             current = current.parent
             continue
-        target = m.group("pi")
-        if target is not None:
+        if kind == "pi":
+            target = m.group("pi")
             idx = s.find("?>", pos)
             if idx == -1:
                 raise _DomFallback
@@ -200,13 +203,13 @@ def _parse_dom_fast(s: str) -> DomNode:
             order += 1
             current.append(node)
             continue
-        if m.group("comment") is not None:
+        if kind == "comment":
             node = DomNode(COMMENT, m.group("comment"))
             node.order = order
             order += 1
             current.append(node)
             continue
-        if m.group("directive") is not None:
+        if kind == "directive":
             continue  # parse_dom skips directives
         raise _DomFallback  # unreachable
     if current is not doc:

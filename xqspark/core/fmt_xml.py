@@ -96,8 +96,9 @@ def _format_xml_fused(s: str, indent: str) -> str:
         if m is None:
             raise _Fallback
         pos = m.end()
-        name = m.group("start")
-        if name is not None:
+        kind = m.lastgroup  # "selfclose" = start-tag branch (trailing group)
+        if kind == "selfclose":
+            name = m.group("start")
             space_content = ""
             if not start_tag_closed:
                 write(">")
@@ -128,8 +129,8 @@ def _format_xml_fused(s: str, indent: str) -> str:
                 has_content = False
                 stack.append(name)
             continue
-        t = m.group("text")
-        if t is not None:
+        if kind == "text":
+            t = m.group("text")
             if bad_text(t):
                 raise _Fallback
             c0 = t[0]
@@ -153,8 +154,8 @@ def _format_xml_fused(s: str, indent: str) -> str:
             # sn cannot contain & or < here, so never CDATA-wrapped
             write(sn)
             continue
-        name = m.group("end")
-        if name is not None:
+        if kind == "end":
+            name = m.group("end")
             if not stack or stack[-1] != name:
                 raise _Fallback  # repair/error path: general tokenizer
             stack.pop()
@@ -177,8 +178,8 @@ def _format_xml_fused(s: str, indent: str) -> str:
             has_content = False
             last_tag_name = ""
             continue
-        target = m.group("pi")
-        if target is not None:
+        if kind == "pi":
+            target = m.group("pi")
             if level != 0:
                 # general ProcInst branch has leave-start-tag-open quirks
                 raise _Fallback
@@ -198,12 +199,11 @@ def _format_xml_fused(s: str, indent: str) -> str:
                         write(" " + parts[0])
             write("?>" + newline)
             continue
-        directive = m.group("directive")
-        if directive is not None:
+        if kind == "directive":
             if level != 0:
                 raise _Fallback
             space_content = ""
-            write("<!" + directive + ">")
+            write("<!" + m.group("directive") + ">")
             write(newline)
             continue
         raise _Fallback  # unreachable

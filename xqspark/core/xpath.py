@@ -614,10 +614,52 @@ class _Context:
         self.root = root
 
 
+def _fold_steps(steps):
+    """Fold ``descendant-or-self::node()`` (no predicates) followed by a
+    predicate-free ``child::`` step into one ``descendant::`` step — the
+    standard XPath equivalence behind ``//name`` (positional predicates
+    on the child step would change meaning, so any predicate blocks it).
+    Turns the two-pass // evaluation into a single document walk."""
+    out = []
+    i = 0
+    n = len(steps)
+    while i < n:
+        st = steps[i]
+        if (
+            i + 1 < n
+            and st[1] == "descendant-or-self"
+            and st[2] == ("node",)
+            and not st[3]
+            and steps[i + 1][1] == "child"
+            and not steps[i + 1][3]
+        ):
+            out.append(("step", "descendant", steps[i + 1][2], []))
+            i += 2
+            continue
+        out.append(st)
+        i += 1
+    return out
+
+
+def _fold_ast(node):
+    if isinstance(node, list):
+        return [_fold_ast(x) for x in node]
+    if not isinstance(node, tuple) or not node:
+        return node
+    if node[0] == "step":
+        return ("step", node[1], node[2], [_fold_ast(p) for p in node[3]])
+    parts = tuple(_fold_ast(x) for x in node)
+    if parts[0] == "path":
+        return ("path", parts[1], _fold_steps(parts[2]))
+    if parts[0] == "filter":
+        return ("filter", parts[1], parts[2], _fold_steps(parts[3]))
+    return parts
+
+
 class XPathExpr:
     def __init__(self, query: str):
         self.query = query
-        self.ast = _Parser(query).parse()
+        self.ast = _fold_ast(_Parser(query).parse())
 
     def evaluate(self, doc: DomNode):
         # path/step/union evaluation already dedups and doc-sorts; no
@@ -721,10 +763,20 @@ def _eval(ast, ctx: _Context):
     raise XPathError(f"unknown AST node {op!r}")
 
 
+_DOC_ORDER_AXES = frozenset(
+    ("child", "descendant", "descendant-or-self", "self", "attribute")
+)
+
+
 def _eval_steps(nodes: list, steps: list, ctx: _Context):
     current = nodes
     for _, axis, test, predicates in steps:
         axis_fn = _AXES[axis]
+        if not predicates and len(current) == 1 and axis in _DOC_ORDER_AXES:
+            # single context, document-order axis, no predicates: the
+            # walk is already unique and sorted — skip dedup + sort
+            current = [c for c in axis_fn(current[0]) if _node_test(test, c, axis)]
+            continue
         gathered = []
         seen = set()
         for node in current:

@@ -1155,19 +1155,22 @@ def q_simhash(spark, sf_dir):
             for w in range(4)
         ],
     )
-    votes = [
-        F.sum(
-            F.when(F.col(f"w{w}").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"v{w}_{b}")
+    # vote sums as plain bit sums (no CASE in the aggregate): the +1/-1
+    # vote total is positive iff 2*sum(bit) > n_tokens
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.sum(F.shiftright(f"w{w}", b).bitwiseAND(F.lit(1))).alias(f"s{w}_{b}")
         for w in range(4)
         for b in range(16)
     ]
-    agg = hashed.groupBy("doc_id").agg(*votes)
+    agg = hashed.groupBy("doc_id").agg(*aggs)
     outs = []
     for w in range(4):
         word = None
         for b in range(16):
-            bit = F.when(F.col(f"v{w}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bit = F.when(
+                F.col(f"s{w}_{b}") * 2 > F.col("n"), F.lit(1 << b)
+            ).otherwise(F.lit(0))
             word = bit if word is None else word + bit
         outs.append(word.cast("long").alias(f"simhash_w{w}"))
     return agg.select("doc_id", *outs)
