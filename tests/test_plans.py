@@ -116,3 +116,21 @@ def test_pack_chunks_no_global_data_window(spark):
         if "windowspecdefinition" in line and "doc_id" in line:
             assert re.search(r"windowspecdefinition\(bin#\d+, doc_id", line), line
     assert "Reused" in plan
+
+
+def test_embedding_neardup_is_bucket_join_not_cross(spark):
+    df = QUERIES["embedding_neardup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "label" in plan  # equi-join on the coarse-quantizer label
+
+
+def test_lsh_band_count_reuses_join_partitioning(spark):
+    """The band-cap count window must ride hashpartitioning(band) —
+    adding the cap may not add a shuffle of the big side per branch."""
+    df = QUERIES["lsh_pairs"](spark, SF_DIR)
+    plan = plan_of(df)
+    import re
+    band_exchanges = re.findall(r"Exchange hashpartitioning\(band", plan)
+    # one per self-join side (no extra one for the count window)
+    assert len(band_exchanges) <= 2, plan[:2000]
