@@ -200,3 +200,59 @@ def test_fused_dom_parse_differential():
             except XmlSyntaxError as e:
                 got, gerr = None, str(e)
             assert (want, werr) == (got, gerr), (strict, repr(doc))
+
+
+_xmlish = st.text(
+    alphabet=string.ascii_letters + " <>/=\"'&;#!?-.[]\n\t\r\x0b]" + "é\x85",
+    max_size=80,
+)
+
+
+@given(_xmlish)
+@settings(max_examples=400, deadline=None)
+def test_fused_formatter_hypothesis(doc):
+    """Arbitrary text: fused and general formatter agree on bytes AND
+    errors (hypothesis shrinks any divergence to a minimal witness)."""
+    from xqspark.core.fmt_xml import format_xml, format_xml_tokens
+    from xqspark.core.xmltok import GoXmlTokenizer
+
+    try:
+        want, werr = (
+            format_xml_tokens(GoXmlTokenizer(doc, strict=False).tokens(), "  "),
+            None,
+        )
+    except XmlSyntaxError as e:
+        want, werr = None, str(e)
+    try:
+        got, gerr = format_xml(doc), None
+    except XmlSyntaxError as e:
+        got, gerr = None, str(e)
+    assert (want, werr) == (got, gerr)
+
+
+@given(_xmlish, st.booleans())
+@settings(max_examples=400, deadline=None)
+def test_fused_dom_hypothesis(doc, strict):
+    from xqspark.core import dom as dommod
+    from xqspark.core.dom import parse_dom
+
+    def tree_sig(n):
+        return (n.type, n.data, n.prefix, n.namespace,
+                tuple((a.space, a.local, a.value, a.prefix) for a in n.attrs),
+                n.order, n.cdata, n.pi_inst,
+                tuple(tree_sig(c) for c in n.children))
+
+    orig = dommod._parse_dom_fast
+    dommod._parse_dom_fast = lambda s: (_ for _ in ()).throw(dommod._DomFallback())
+    try:
+        try:
+            want, werr = tree_sig(parse_dom(doc, strict)), None
+        except XmlSyntaxError as e:
+            want, werr = None, str(e)
+    finally:
+        dommod._parse_dom_fast = orig
+    try:
+        got, gerr = tree_sig(parse_dom(doc, strict)), None
+    except XmlSyntaxError as e:
+        got, gerr = None, str(e)
+    assert (want, werr) == (got, gerr)

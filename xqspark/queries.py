@@ -784,6 +784,71 @@ def q_ann_ivf_label_sql():
     )
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a COMPUTED coarse quantizer (not a precomputed label):
+    centroids = the first 8 vectors (deterministic seed set, the
+    'train-lite' step of IVF), every vector assigned to its argmax-dot
+    centroid via a broadcast join + max_by, then top-3 neighbors searched
+    only inside the query's bucket. At 100 TB: assignment is a broadcast
+    of K centroids (one pass, no shuffle), search is a bucket equi-join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dot = (
+        "aggregate(zip_with(v, cv, (x, y) -> cast(x as double) * cast(y as double)), "
+        "0D, (acc, q) -> acc + q)"
+    )
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "v", "cid", F.expr(dot).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", "d").alias("bucket"), F.first("v").alias("v"))
+    )
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    n = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket"
+    )
+    pairs = n.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.expr(_COSINE_EXPR).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
+def q_ann_ivf_kmeans_sql():
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8), "
+        "assigned AS (SELECT e.vec_id, arg_max(c.cid, list_dot_product(e.v, c.cv)) "
+        "AS bucket, first(e.v) AS v FROM e CROSS JOIN c GROUP BY e.vec_id), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM assigned WHERE vec_id < 5), "
+        "n AS (SELECT vec_id AS neighbor_id, v AS nv, bucket FROM assigned), "
+        "scored AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim "
+        "FROM q JOIN n USING (bucket) WHERE neighbor_id != query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(sim, 4) AS sim "
+        "FROM ranked WHERE rank <= 3"
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: self-join bucketed on the
     coarse-quantizer label (near-dups share a coarse bucket — the IVF
@@ -1233,6 +1298,7 @@ QUERIES = {
     "jaccard_adjacent": q_jaccard_adjacent,
     "ann_topk": q_ann_topk,
     "ann_ivf_label": q_ann_ivf_label,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "css_misnested": q_css_misnested,
@@ -1274,6 +1340,7 @@ ORACLES = {
     "jaccard_adjacent": q_jaccard_adjacent_sql(),
     "ann_topk": q_ann_topk_sql(),
     "ann_ivf_label": q_ann_ivf_label_sql(),
+    "ann_ivf_kmeans": q_ann_ivf_kmeans_sql(),
     "embedding_neardup": q_embedding_neardup_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
     "css_misnested": q_css_misnested_sql(),
