@@ -560,12 +560,18 @@ def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    aggs = [
-        F.min(F.md5(F.encode(F.concat(F.col("shingle"), F.lit(f"#{k}")), "UTF-8"))).alias(
-            f"mh{k}"
+    # hash family: 4 independent 32-bit hashes per md5 (8 hex chars each);
+    # hash k draws from md5(shingle '#' k//4) substring (k%4)*8 — one md5
+    # feeds four family members instead of one
+    def _hk(k: int):
+        grp = (k - 1) // 4
+        off = ((k - 1) % 4) * 8
+        base = F.col("shingle") if grp == 0 else F.concat(
+            F.col("shingle"), F.lit(f"#{grp}")
         )
-        for k in range(1, n_hashes + 1)
-    ]
+        return F.substring(F.md5(F.encode(base, "UTF-8")), 1 + off, 8)
+
+    aggs = [F.min(_hk(k)).alias(f"mh{k}") for k in range(1, n_hashes + 1)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -573,8 +579,10 @@ _MINHASH_SQL_BODY = (
     "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents), "
     "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), "
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM toks WHERE len(t) >= 3), "
-    "sig AS (SELECT doc_id, min(md5(shingle||'#1')) AS mh1, min(md5(shingle||'#2')) AS mh2, "
-    "min(md5(shingle||'#3')) AS mh3, min(md5(shingle||'#4')) AS mh4 FROM sh GROUP BY doc_id) "
+    "sig AS (SELECT doc_id, "
+    "min(substr(md5(shingle), 1, 8)) AS mh1, min(substr(md5(shingle), 9, 8)) AS mh2, "
+    "min(substr(md5(shingle), 17, 8)) AS mh3, min(substr(md5(shingle), 25, 8)) AS mh4 "
+    "FROM sh GROUP BY doc_id) "
 )
 
 
