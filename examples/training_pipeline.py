@@ -1,0 +1,145 @@
+"""spark-submit entry point: an end-to-end LM training-data pipeline
+composing the engine's training-data operators over a documents table.
+
+    zip -qr xqspark.zip xqspark
+    spark-submit --master <cluster> --py-files xqspark.zip \
+        examples/training_pipeline.py --docs <sf_dir>/documents.parquet \
+        --out <dir>
+
+Stages (each one the scale-shaped variant from xqspark/queries.py):
+  1. quality + language gate   — pure column expressions, no UDF
+  2. exact dedup               — hash-groupBy on the md5 fingerprint
+  3. MinHash+LSH near-dup drop — banded bucket join, hot bands capped
+  4. deterministic hash split  — md5-bucket train/val/test
+  5. sequence packing          — two-phase distributed cumulative sum
+
+Prints one JSON line of per-stage row counts (the pipeline's lineage).
+"""
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--docs", required=True, help="documents parquet path")
+    parser.add_argument("--out", required=True, help="output dir")
+    parser.add_argument("--min-alpha", type=float, default=0.5)
+    parser.add_argument("--band-cap", type=int, default=64)
+    parser.add_argument("--chunk-tokens", type=int, default=1024)
+    args = parser.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("xqspark-training-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    from pyspark.sql import Window as W
+
+    counts = {}
+    docs = spark.read.parquet(args.docs)
+    counts["input"] = docs.count()
+
+    # 1. quality + language gate (JVM-side column expressions)
+    text = F.col("text")
+    alpha = F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), F.lit(0)))
+    gated = docs.filter(
+        (F.length("text") > 0)
+        & (alpha / F.length("text") >= args.min_alpha)
+    )
+    counts["after_quality"] = gated.count()
+
+    # 2. exact dedup: first doc_id per content fingerprint
+    fp = gated.withColumn("fp", F.md5(F.encode(F.trim("text"), "UTF-8")))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    counts["after_exact_dedup"] = exact.count()
+
+    # 3. MinHash+LSH near-dup drop: keep the smallest doc_id of each
+    # candidate pair's component (greedy: drop the larger side)
+    tmp_dir = args.out + "/_neardup_in"
+    exact.write.mode("overwrite").parquet(tmp_dir + "/documents.parquet")
+    from xqspark.queries import lsh_pairs
+
+    dropped = []
+    pairs = lsh_pairs(
+        spark, tmp_dir, band_cap=args.band_cap, on_dropped=dropped.append
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = exact.join(losers, "doc_id", "left_anti")
+    counts["hot_bands_dropped"] = dropped[0] if dropped else 0
+    counts["after_near_dedup"] = kept.count()
+
+    # 4. deterministic hash split
+    bucket = F.pmod(
+        F.abs(F.xxhash64(F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    split = kept.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+    )
+
+    # 5. sequence packing (two-phase distributed cumsum) per split
+    toks = F.size(
+        F.regexp_extract_all(F.trim("text"), F.lit(r"\S+"), F.lit(0))
+    ).cast("long")
+    n_bins = max(2 * spark.sparkContext.defaultParallelism, 8)
+    with_tok = split.select("doc_id", "split", "text", toks.alias("n_tok"))
+    bounds = with_tok.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    binned = with_tok.join(F.broadcast(bounds)).withColumn(
+        "bin",
+        F.expr(
+            f"CAST(least({n_bins - 1}, (doc_id - lo) * {n_bins} div (hi - lo + 1)) AS INT)"
+        ),
+    ).drop("lo", "hi")
+    w_in = W.partitionBy("split", "bin").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = binned.repartition(n_bins, "split", "bin").withColumn(
+        "cum", F.sum("n_tok").over(w_in)
+    )
+    offsets = (
+        cum.groupBy("split", "bin")
+        .agg(F.max("cum").alias("bin_total"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bin_total").over(
+                    W.partitionBy("split")
+                    .orderBy("bin")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("split", "bin", "offset")
+    )
+    packed = cum.join(F.broadcast(offsets), ["split", "bin"]).select(
+        "doc_id",
+        "split",
+        "text",
+        F.floor((F.col("cum") + F.col("offset") - 1) / args.chunk_tokens)
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    packed.write.mode("overwrite").partitionBy("split").parquet(
+        args.out + "/packed"
+    )
+    out = spark.read.parquet(args.out + "/packed")
+    counts["output_rows"] = out.count()
+    counts["output_chunks"] = out.select("split", "chunk_id").distinct().count()
+    print("xqspark-training-pipeline: " + json.dumps(counts))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
