@@ -223,3 +223,23 @@ def test_salted_skew_ratio_bounded(spark):
     stats = skew_ratio(spark, rows=8000)
     assert stats["partitions"] > 4
     assert stats["max_over_median_task_time"] < 3.0, stats
+
+
+def test_lsh_nondefault_config_oracle_parity(spark):
+    """n_bands x n_rows beyond the default 2x2 must have a working DuckDB
+    twin (mh5+ columns come from the grouped-md5 hash family)."""
+    import duckdb
+
+    from xqspark.queries import lsh_pairs, q_lsh_pairs_sql
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in lsh_pairs(spark, sf, n_bands=3, n_rows=2).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(con.sql(q_lsh_pairs_sql(n_bands=3, n_rows=2)).fetchall())
+    assert got == want and len(got) > 0

@@ -183,3 +183,12 @@ def test_dedup_stream_rotation_through_operator(spark):
         assert sum(1 for u in urls if "/p" in u) >= 2900  # batch-1 originals
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_bloom_indexes_support_any_k():
+    from xqspark.streaming import _bloom_indexes
+
+    idxs = _bloom_indexes("http://x/1", 1 << 14, k=8)
+    assert len(idxs) == 8
+    assert len(set(idxs)) >= 6  # double hashing: no degenerate constant
+    assert all(0 <= i < (1 << 14) for i in idxs)

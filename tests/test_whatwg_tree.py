@@ -182,3 +182,36 @@ def test_tree_builder_never_raises_on_soup():
         doc = "".join(random.choice(frag) for _ in range(random.randint(1, 25)))
         tree = parse_html(doc)  # must not raise
         serialize_html(tree)    # nor the serializer
+
+
+def test_no_reconstruction_into_raw_text_elements():
+    # a dangling active <b> must NOT wrap script/style/textarea raw text
+    assert (
+        body_html("<p><b>x</p><script>var a=1;</script>")
+        == "<p><b>x</b></p><script>var a=1;</script>"
+    )
+    assert "<b>body{}</b>" not in body_html("<p><b>x</p><style>body{}</style>")
+
+
+def test_end_p_synthesis_survives_special_stop():
+    # </p> has its own rule; the any-other-end-tag special stop must not
+    # swallow it
+    assert body_html("<div></p>x</div>") == "<div><p></p>x</div>"
+    assert sel_texts("div > p", "<div></p>x</div>") == [""]
+
+
+def test_nobr_reconstructs_before_scope_check():
+    # x/net/html: the dangling active nobr is reconstructed first, then
+    # adopted out — leaving an empty nobr sibling, and NO nested nobr
+    assert (
+        body_html("<b><nobr>a</b><nobr>c")
+        == "<b><nobr>a</nobr></b><nobr></nobr><nobr>c</nobr>"
+    )
+
+
+def test_nbsp_only_table_text_is_fostered():
+    # WHATWG table text treats only ASCII whitespace as ignorable
+    assert (
+        body_html("<div><table>\xa0<tr><td>c</td></tr></table></div>")
+        == "<div>\xa0<table><tbody><tr><td>c</td></tr></tbody></table></div>"
+    )

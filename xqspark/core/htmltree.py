@@ -46,18 +46,11 @@ _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 
 # start tag -> open tags it auto-closes (nearest first, stopping at scopes)
 _SIBLING_CLOSERS = {
+    # table-structure siblings are closed by _clear_to_table_context in
+    # the _TABLE_STRUCTURE start-tag branch, never here
     "li": ("li",),
     "dd": ("dd", "dt"),
     "dt": ("dd", "dt"),
-    # a new row/section closes the whole open row/section: the scan pops
-    # THROUGH open cells/rows down to the nearest matching element
-    # (deleting stack[i:] takes the cells with it), stopping at table scope
-    "tr": ("tr",),
-    "td": ("td", "th"),
-    "th": ("td", "th"),
-    "thead": ("thead", "tbody", "tfoot"),
-    "tbody": ("thead", "tbody", "tfoot"),
-    "tfoot": ("thead", "tbody", "tfoot"),
     "option": ("option",),
     "optgroup": ("option", "optgroup"),
 }
@@ -76,8 +69,6 @@ _SPECIAL = frozenset(
 )
 
 _LIST_SCOPE_STOP = _SPECIAL - {"address", "div", "p"}
-
-_TABLE_SCOPE_STOPS = frozenset(("html", "body", "table", "template"))
 
 # base/basefont/bgsound/link/meta are inserted and immediately popped in
 # the head insertion mode (x/net/html inHeadIM); the non-VOID_TAGS two
@@ -218,16 +209,12 @@ class HtmlTreeBuilder:
                     break
         closers = _SIBLING_CLOSERS.get(name)
         if closers:
-            if name in ("li", "dd", "dt"):
-                stops = _LIST_SCOPE_STOP - set(closers)
-            elif name in ("option", "optgroup"):
+            if name in ("option", "optgroup"):
                 # spec closes only when the CURRENT node is option/optgroup
                 while self.stack and self.stack[-1].data in closers:
                     self.stack.pop()
-                stops = None
-            else:
-                stops = _TABLE_SCOPE_STOPS
-            if stops is not None:
+            else:  # li/dd/dt
+                stops = _LIST_SCOPE_STOP - set(closers)
                 for i in range(len(self.stack) - 1, -1, -1):
                     tag = self.stack[i].data
                     if tag in closers:
@@ -319,7 +306,13 @@ class HtmlTreeBuilder:
 
     def _insert_text_node(self, text: str) -> None:
         cur = self._current()
-        if cur.data in _TABLE_CTX and cur.type == ELEMENT and text.strip() != "":
+        # ASCII whitespace only: an &nbsp;-only spacer inside a table is
+        # character data and must be foster-parented (WHATWG table text)
+        if (
+            cur.data in _TABLE_CTX
+            and cur.type == ELEMENT
+            and text.strip(" \t\n\f\r") != ""
+        ):
             self._foster_insert(DomNode(TEXT, text))
         else:
             cur.append(DomNode(TEXT, text))
@@ -528,12 +521,19 @@ class HtmlTreeBuilder:
                 and cur is not self.head
             )
             if not in_head_element:
-                if tok.text.strip() == "":
+                # ASCII whitespace only (WHATWG); an &nbsp;-only text node
+                # must open the body like any other character data
+                if tok.text.strip(" \t\n\f\r") == "":
                     return  # whitespace before body is dropped
                 self._open_body()
             else:
                 cur.append(DomNode(TEXT, tok.text))
                 return
+        if tok.raw:
+            # raw/RCDATA text (script/style/textarea/title): x/net/html's
+            # text insertion mode never reconstructs formatting elements
+            self._current().append(DomNode(TEXT, tok.text))
+            return
         self._reconstruct_afe()
         self._insert_text_node(tok.text)
 
@@ -590,8 +590,13 @@ class HtmlTreeBuilder:
                     i = self._stack_index(prev_a)
                     if i != -1:
                         del self.stack[i]
-            elif name == "nobr" and self._name_in_default_scope("nobr"):
-                self._adoption_agency("nobr")
+            elif name == "nobr":
+                # x/net/html reconstructs BEFORE the scope check: a
+                # dangling active nobr comes back onto the stack first,
+                # so the implied </nobr> (AAA) sees it
+                self._reconstruct_afe()
+                if self._name_in_default_scope("nobr"):
+                    self._adoption_agency("nobr")
             self._reconstruct_afe()
             self._insert_element(element, push=push)
             if push:
@@ -642,6 +647,21 @@ class HtmlTreeBuilder:
         if name in _FORMATTING:
             self._adoption_agency(name)
             return
+        if name == "p":
+            # WHATWG: </p> has its own rule (not "any other end tag"):
+            # close a p in button scope, else synthesize an empty <p> —
+            # the special-element stop below must not suppress this
+            for i in range(len(self.stack) - 1, -1, -1):
+                node = self.stack[i]
+                if node.data == "p":
+                    del self.stack[i:]
+                    return
+                if node.data in _P_SCOPE_STOPS:
+                    break
+            self._open_body()
+            self._reconstruct_afe()
+            self._insert_element(DomNode(ELEMENT, "p"), push=False)
+            return
         if name in ("applet", "marquee", "object") or name in _TABLE_END:
             # pop-through-to-match (these insertion modes close open
             # cells/rows on the way out), then drop formatting scope
@@ -669,12 +689,6 @@ class HtmlTreeBuilder:
                 return
             if node.data in _SPECIAL:
                 return  # parse error: ignore
-        if name == "p":
-            # WHATWG: </p> with no open p synthesizes an empty <p>
-            self._open_body()
-            self._reconstruct_afe()
-            self._insert_element(DomNode(ELEMENT, "p"), push=False)
-            return
         # stray end tag: ignored
 
 

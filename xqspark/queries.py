@@ -575,15 +575,24 @@ def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-_MINHASH_SQL_BODY = (
-    "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents), "
-    "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), "
-    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM toks WHERE len(t) >= 3), "
-    "sig AS (SELECT doc_id, "
-    "min(substr(md5(shingle), 1, 8)) AS mh1, min(substr(md5(shingle), 9, 8)) AS mh2, "
-    "min(substr(md5(shingle), 17, 8)) AS mh3, min(substr(md5(shingle), 25, 8)) AS mh4 "
-    "FROM sh GROUP BY doc_id) "
-)
+def _minhash_sql_body(n_hashes: int = 4) -> str:
+    """DuckDB twin of _minhash_sig for any n_hashes (mirrors _hk's
+    grouped-md5 + 8-hex-substring family)."""
+    cols = []
+    for k in range(1, n_hashes + 1):
+        grp = (k - 1) // 4
+        off = ((k - 1) % 4) * 8
+        base = "shingle" if grp == 0 else f"shingle||'#{grp}'"
+        cols.append(f"min(substr(md5({base}), {1 + off}, 8)) AS mh{k}")
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM toks WHERE len(t) >= 3), "
+        f"sig AS (SELECT doc_id, {', '.join(cols)} FROM sh GROUP BY doc_id) "
+    )
+
+
+_MINHASH_SQL_BODY = _minhash_sql_body(4)
 
 
 def q_minhash_sig(spark, sf_dir):
@@ -660,7 +669,7 @@ def q_lsh_pairs_sql(n_bands: int = 2, n_rows: int = 2, band_cap: int = 64):
         for b in range(n_bands)
     )
     return (
-        _MINHASH_SQL_BODY
+        _minhash_sql_body(n_bands * n_rows)
         + f", bands AS (SELECT doc_id, unnest([{band_list}]) AS band FROM sig), "
         "ok AS (SELECT doc_id, band FROM (SELECT doc_id, band, "
         "count(*) OVER (PARTITION BY band) AS n_band FROM bands) "

@@ -67,15 +67,17 @@ def windowed_lineage(
 
 
 def _bloom_indexes(url: str, n_bits: int, k: int = 4) -> list[int]:
-    """k bit positions from an md5 digest — deterministic across
-    processes/restarts (builtin hash() depends on PYTHONHASHSEED and
-    would silently invalidate persisted state)."""
+    """k bit positions via double hashing (h1 + i*h2) from the two md5
+    halves — supports ANY k (a fixed 4-byte slicing would silently
+    degenerate past k=4) and is deterministic across processes/restarts
+    (builtin hash() depends on PYTHONHASHSEED and would silently
+    invalidate persisted state)."""
     import hashlib
 
     d = hashlib.md5(url.encode("utf-8", "surrogateescape")).digest()
-    return [
-        int.from_bytes(d[4 * i : 4 * i + 4], "big") % n_bits for i in range(k)
-    ]
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stride
+    return [(h1 + i * h2) % n_bits for i in range(k)]
 
 
 def _bloom_has(buf, idxs) -> bool:
