@@ -78,9 +78,9 @@ def main() -> None:
     counts["after_near_dedup"] = kept.count()
 
     # 4. deterministic hash split
-    bucket = F.pmod(
-        F.abs(F.xxhash64(F.col("doc_id").cast("string"))), F.lit(100)
-    )
+    # pmod is already non-negative for negative hashes; abs() would throw
+    # on Long.MIN_VALUE under ANSI mode
+    bucket = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(100))
     split = kept.withColumn(
         "split",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),

@@ -215,3 +215,37 @@ def test_nbsp_only_table_text_is_fostered():
         body_html("<div><table>\xa0<tr><td>c</td></tr></table></div>")
         == "<div>\xa0<table><tbody><tr><td>c</td></tr></tbody></table></div>"
     )
+
+
+def test_stray_cell_end_does_not_reach_through_nested_table():
+    # td is out of table scope past an inner <table>: </td> is ignored,
+    # following text fosters INSIDE the outer cell, not out to body
+    assert (
+        body_html("<table><tr><td>a<table>b</td>c</table>")
+        == "<table><tbody><tr><td>abc<table></table></td></tr></tbody></table>"
+    )
+
+
+def test_implicit_cell_close_clears_formatting_marker():
+    # </table> with an open cell runs "close the cell": the <b> opened
+    # inside the cell must not reconstruct around trailing text
+    out = body_html("<table><tr><td><b>x</table>y")
+    assert out.endswith("</table>y"), out
+
+
+def test_end_p_out_of_scope_past_object():
+    # object is a button-scope stop: the outer p is NOT in scope, so an
+    # implied empty <p> is inserted inside the object instead
+    assert (
+        body_html("<p><object>t</p>x")
+        == "<p><object>t<p></p>x</object></p>"
+    )
+
+
+def test_synthesized_p_not_wrapped_by_reconstruction():
+    # "act as if <p>" does not reconstruct formatting: the synthesized
+    # <p> is a direct child of body; only the following TEXT re-bolds
+    assert (
+        body_html("<div><b></div></p>after")
+        == "<div><b></b></div><p></p><b>after</b>"
+    )

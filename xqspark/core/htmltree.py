@@ -75,9 +75,15 @@ _LIST_SCOPE_STOP = _SPECIAL - {"address", "div", "p"}
 # must still never be pushed
 _IMMEDIATE_POP = frozenset(("basefont", "bgsound"))
 
-_P_SCOPE_STOPS = frozenset(
-    ("html", "body", "table", "td", "th", "caption", "button", "select", "template")
+# button scope = default scope + button (WHATWG 13.2.4.2; x/net/html
+# buttonScopeStopTags) — the scope for "has a p element in button scope"
+_BUTTON_SCOPE_STOPS = frozenset(
+    ("applet", "caption", "html", "table", "td", "th", "marquee", "object",
+     "template", "button")
 )
+
+# table scope stop list (for td/th/tr/tbody/caption/... end tags)
+_TABLE_SCOPE_STOPS = frozenset(("html", "table", "template"))
 
 # elements routed into <head> while no body content has been seen
 _HEAD_ONLY = frozenset(
@@ -205,7 +211,7 @@ class HtmlTreeBuilder:
                 if tag == "p":
                     del self.stack[i:]
                     break
-                if tag in _P_SCOPE_STOPS:
+                if tag in _BUTTON_SCOPE_STOPS:
                     break
         closers = _SIBLING_CLOSERS.get(name)
         if closers:
@@ -354,7 +360,12 @@ class HtmlTreeBuilder:
         for i in range(len(self.stack) - 1, -1, -1):
             node = self.stack[i]
             if node.data in ctx or node is self.body or node is self.html:
+                popped = self.stack[i + 1 :]
                 del self.stack[i + 1 :]
+                # implicit cell/caption close drops its formatting scope
+                for p in popped:
+                    if p.data in _MARKER_TAGS:
+                        self._clear_afe_to_marker()
                 return
 
     def _imply_table_wrappers(self, name: str) -> None:
@@ -656,24 +667,38 @@ class HtmlTreeBuilder:
                 if node.data == "p":
                     del self.stack[i:]
                     return
-                if node.data in _P_SCOPE_STOPS:
+                if node.data in _BUTTON_SCOPE_STOPS:
                     break
+            # "act as if <p>" — a start tag p does NOT reconstruct
+            # formatting elements (x/net/html parseImpliedToken)
             self._open_body()
-            self._reconstruct_afe()
             self._insert_element(DomNode(ELEMENT, "p"), push=False)
             return
         if name in ("applet", "marquee", "object") or name in _TABLE_END:
-            # pop-through-to-match (these insertion modes close open
-            # cells/rows on the way out), then drop formatting scope
+            # pop-through-to-match WITHIN scope (table scope for table
+            # structure, default scope for applet/marquee/object): a
+            # scope-stop element in the way means the token is ignored
+            # (a stray </td> may not reach through a nested <table>).
+            # Every marker-scoped element popped on the way out (implicit
+            # cell/caption close) drops its formatting scope.
+            stops = (
+                _DEFAULT_SCOPE_STOPS
+                if name in ("applet", "marquee", "object")
+                else _TABLE_SCOPE_STOPS
+            )
             for i in range(len(self.stack) - 1, -1, -1):
                 node = self.stack[i]
                 if node is self.html or node is self.body or node is self.head:
                     break
                 if node.data == name:
+                    popped = self.stack[i:]
                     del self.stack[i:]
-                    if name in _MARKER_TAGS or name in ("applet", "marquee", "object"):
-                        self._clear_afe_to_marker()
+                    for p in popped:
+                        if p.data in _MARKER_TAGS:
+                            self._clear_afe_to_marker()
                     return
+                if node.data in stops:
+                    return  # out of scope: ignore
             return  # stray: ignored
         self._any_other_end_tag(name)
 

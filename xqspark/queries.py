@@ -621,9 +621,10 @@ def lsh_pairs(
     over the same hashpartitioning(band) the self-join needs, so the cap
     costs no extra shuffle of the big side.
 
-    ``on_dropped(n_hot_bands)`` — optional callback (runs one extra tiny
-    action) so batch drivers can log how many bands the cap removed; None
-    skips the action entirely.
+    ``on_dropped(n_hot_bands)`` — optional callback so batch drivers can
+    log how many bands the cap removed. It runs an extra action, so the
+    banded rows are persisted first (and stay cached for the self-join);
+    None skips both the action and the caching.
     """
     sig = _minhash_sig(spark, sf_dir, n_hashes=n_bands * n_rows)
     band_exprs = [
@@ -639,6 +640,7 @@ def lsh_pairs(
         "n_band", F.count("*").over(W.partitionBy("band"))
     )
     if on_dropped is not None:
+        sized = sized.persist()
         n_hot = (
             sized.filter(F.col("n_band") > band_cap)
             .select("band")
