@@ -249,3 +249,22 @@ def test_synthesized_p_not_wrapped_by_reconstruction():
         body_html("<div><b></div></p>after")
         == "<div><b></b></div><p></p><b>after</b>"
     )
+
+
+def test_html5lib_tables01_fostered_formatting():
+    # html5lib tables01.dat pattern: fostered <b> is emptied by clear-to-
+    # table-context, fostered text reconstructs it, trailing text again
+    assert (
+        body_html("<table><b><tr><td>aaa</td></tr>bbb</table>ccc")
+        == "<b></b><b>bbb</b><table><tbody><tr><td>aaa</td></tr></tbody>"
+           "</table><b>ccc</b>"
+    )
+
+
+def test_html5lib_adoption01_a_in_table():
+    # html5lib adoption01.dat pattern: second <a> adopts the first, is
+    # fostered before the table, and reconstructs around trailing text
+    assert (
+        body_html('<a href="a">a<table><a href="b">b</table>x')
+        == '<a href="a">a<a href="b">b</a><table></table></a><a href="b">x</a>'
+    )
