@@ -268,3 +268,25 @@ def test_html5lib_adoption01_a_in_table():
         body_html('<a href="a">a<table><a href="b">b</table>x')
         == '<a href="a">a<a href="b">b</a><table></table></a><a href="b">x</a>'
     )
+
+
+def test_in_select_mode():
+    # WHATWG "in select": non-option content is ignored, a nested <select>
+    # acts as </select>, input/keygen/textarea and (in a table) table
+    # structure break out of the select
+    assert (
+        body_html("<select><option>a<div>x</div><option>b</select>")
+        == "<select><option>ax</option><option>b</option></select>"
+    )
+    assert (
+        body_html("<select><option>a<select><option>b")
+        == "<select><option>a</option></select><option>b</option>"
+    )
+    assert (
+        body_html("<select><option>a<input>x")
+        == "<select><option>a</option></select><input/>x"
+    )
+    assert body_html("<table><tr><td><select><option>a<tr><td>b") == (
+        "<table><tbody><tr><td><select><option>a</option></select></td></tr>"
+        "<tr><td>b</td></tr></tbody></table>"
+    )

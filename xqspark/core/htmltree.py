@@ -411,6 +411,24 @@ class HtmlTreeBuilder:
     def _has_open_table(self) -> bool:
         return any(n.data == "table" for n in self.stack)
 
+    def _select_on_stack(self) -> bool:
+        """True while the "in select" insertion mode applies: a select is
+        open with only option/optgroup above it (nothing else can be,
+        because other start tags are ignored in this mode)."""
+        for n in reversed(self.stack):
+            d = n.data
+            if d == "select":
+                return True
+            if d not in ("option", "optgroup"):
+                return False
+        return False
+
+    def _pop_to_select(self) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].data == "select":
+                del self.stack[i:]
+                return
+
     # --- adoption agency --------------------------------------------------
 
     def _adoption_agency(self, name: str) -> None:
@@ -584,6 +602,24 @@ class HtmlTreeBuilder:
             and name not in _IMMEDIATE_POP
             and not tok.self_closing
         )
+        if self._select_on_stack():
+            # WHATWG "in select": only option/optgroup/script/template
+            # content; select-incompatible form controls and (when inside
+            # a table) table structure break out of the select; anything
+            # else is a parse error and IGNORED
+            if name in ("option", "optgroup"):
+                pass  # _auto_close pops siblings, then normal insert
+            elif name == "select":
+                self._pop_to_select()  # parse error: acts as </select>
+                return
+            elif name in ("input", "keygen", "textarea") or (
+                name in _TABLE_STRUCTURE and self._has_open_table()
+            ):
+                self._pop_to_select()  # act as </select>, then reprocess
+            elif name in ("script", "template"):
+                pass  # in-head rules: allowed
+            else:
+                return  # ignored
         if name in _FORMATTING:
             if name == "a":
                 # "in body" <a>: an <a> still active since the last marker
@@ -655,6 +691,15 @@ class HtmlTreeBuilder:
             self._reconstruct_afe()
             self._insert_element(DomNode(ELEMENT, "br"), push=False)
             return
+        if self._select_on_stack():
+            if name in ("select", "option", "optgroup"):
+                pass  # normal pop handling below
+            elif name in _TABLE_END and self._has_open_table():
+                self._pop_to_select()  # act as </select>, then reprocess
+            elif name in ("script", "template"):
+                pass
+            else:
+                return  # "in select": other end tags are ignored
         if name in _FORMATTING:
             self._adoption_agency(name)
             return
