@@ -290,3 +290,77 @@ def test_in_select_mode():
         "<table><tbody><tr><td><select><option>a</option></select></td></tr>"
         "<tr><td>b</td></tr></tbody></table>"
     )
+
+
+def test_self_closing_flag_ignored_on_nonvoid():
+    assert body_html("<div/>inside") == "<div>inside</div>"
+    assert body_html("<span/>x</span>y") == "<span>x</span>y"
+
+
+def test_image_becomes_img():
+    assert body_html("<image src=x>text") == '<img src="x"/>text'
+
+
+def test_select_insertion_never_reconstructs():
+    # the dangling <b> wraps the select (reconstructed at the select
+    # token), never the option INSIDE the select
+    assert (
+        body_html("<p><b>x</p><select><option>y</option></select>")
+        == "<p><b>x</b></p><b><select><option>y</option></select></b>"
+    )
+
+
+def test_void_specials_reconstruct_formatting():
+    assert (
+        body_html("<p><b>x</p><img src=y>")
+        == '<p><b>x</b></p><b><img src="y"/></b>'
+    )
+    out = body_html("<p><b>x</p><br>t")
+    assert "<b><br/>" in out or "<b><br/>t</b>" in out
+
+
+def test_pre_textarea_leading_newline_dropped():
+    assert body_html("<pre>\nfoo</pre>") == "<pre>foo</pre>"
+    assert body_html("<pre>\n\nfoo</pre>") == "<pre>\nfoo</pre>"
+    doc = parse_html("<textarea>\nbar</textarea>")
+    ta = [n for n in doc.iter_descendants() if n.data == "textarea"][0]
+    assert ta.inner_text() == "bar"
+
+
+def test_form_pointer_rules():
+    # nested <form> ignored; </form> removes only the form node
+    assert body_html("<form><div><form><input>") == "<form><div><input/></div></form>"
+    assert body_html("<form><div></form>x") == "<form><div>x</div></form>"
+    # pointer cleared: a later form opens again
+    assert body_html("<form>a</form><form>b</form>") == "<form>a</form><form>b</form>"
+
+
+def test_optgroup_nests_in_body():
+    assert (
+        body_html("<optgroup>a<optgroup>b")
+        == "<optgroup>a<optgroup>b</optgroup></optgroup>"
+    )
+
+
+def test_table_in_select_in_table_breaks_out():
+    out = body_html("<table><tr><td><select><option>a<table><tr><td>b")
+    assert out.count("<table>") == 2  # nested table survives break-out
+    assert "<select><option>a</option></select>" in out
+
+
+def test_quirks_mode_table_in_p():
+    # doctype-less documents are quirks: <table> stays inside the open <p>
+    assert body_html("<p>x<table><tr><td>c</td></tr></table>").startswith(
+        "<p>x<table>"
+    )
+    # a doctype switches to standards: <table> closes the <p>
+    assert body_html(
+        "<!DOCTYPE html><p>x<table><tr><td>c</td></tr></table>"
+    ).startswith("<p>x</p><table>")
+
+
+def test_head_whitespace_preserved():
+    doc = serialize_html(parse_html("<head> <title>t</title> </head>z"))
+    assert doc == "<html><head> <title>t</title> </head><body>z</body></html>"
+    doc2 = serialize_html(parse_html("<title>t</title>\n  hello"))
+    assert doc2 == "<html><head><title>t</title>\n  </head><body>hello</body></html>"

@@ -34,12 +34,25 @@ from .htmltok import (
 )
 from .textutil import VOID_TAGS
 
-# tags whose start tag implicitly closes an open <p> (WHATWG "in body")
+# tags whose start tag implicitly closes an open <p> (WHATWG "in body");
+# <table> closes p only in no-quirks mode (x/net/html inBodyIM)
 _CLOSES_P = frozenset(
     """address article aside blockquote center details dialog dir div dl
     fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup
-    hr main menu nav ol p pre section summary table ul li dd dt
+    hr main menu nav ol p pre listing section summary table ul li dd dt
     plaintext xmp""".split()
+)
+
+# in-body special start tags that still reconstruct active formatting
+# (x/net/html inBodyIM: br/area/embed/img/input/keygen/wbr and select)
+_RECONSTRUCT_SPECIALS = frozenset(
+    ("select", "input", "area", "br", "embed", "img", "keygen", "wbr")
+)
+
+# select-in-table break-out tokens (x/net/html inSelectInTableIM):
+# col/colgroup are NOT in this list, table IS
+_SELECT_TABLE_BREAKOUT = frozenset(
+    ("caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th")
 )
 
 _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
@@ -48,11 +61,10 @@ _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 _SIBLING_CLOSERS = {
     # table-structure siblings are closed by _clear_to_table_context in
     # the _TABLE_STRUCTURE start-tag branch, never here
+    # option/optgroup pops are mode-dependent and handled in _start_tag
     "li": ("li",),
     "dd": ("dd", "dt"),
     "dt": ("dd", "dt"),
-    "option": ("option",),
-    "optgroup": ("option", "optgroup"),
 }
 
 # WHATWG "special" category (the auto-close scan for li/dd/dt stops at any
@@ -163,6 +175,10 @@ class HtmlTreeBuilder:
         self.body: DomNode | None = None
         self.stack: list[DomNode] = []
         self.afe: list = []  # DomNode | _MARKER
+        self.form: DomNode | None = None  # WHATWG form element pointer
+        # quirks mode until a doctype arrives (x/net/html: doctype-less
+        # documents are quirks; any doctype here counts as standards)
+        self.quirks = True
 
     def _current(self) -> DomNode:
         return self.stack[-1] if self.stack else self.doc
@@ -205,7 +221,9 @@ class HtmlTreeBuilder:
         return any(n is node for n in self.stack)
 
     def _auto_close(self, name: str) -> None:
-        if name in _CLOSES_P:
+        if name in _CLOSES_P and not (name == "table" and self.quirks):
+            # quirks mode keeps the table inside the open <p>
+            # (x/net/html inBodyIM: case table gates on quirks)
             for i in range(len(self.stack) - 1, -1, -1):
                 tag = self.stack[i].data
                 if tag == "p":
@@ -214,20 +232,15 @@ class HtmlTreeBuilder:
                 if tag in _BUTTON_SCOPE_STOPS:
                     break
         closers = _SIBLING_CLOSERS.get(name)
-        if closers:
-            if name in ("option", "optgroup"):
-                # spec closes only when the CURRENT node is option/optgroup
-                while self.stack and self.stack[-1].data in closers:
-                    self.stack.pop()
-            else:  # li/dd/dt
-                stops = _LIST_SCOPE_STOP - set(closers)
-                for i in range(len(self.stack) - 1, -1, -1):
-                    tag = self.stack[i].data
-                    if tag in closers:
-                        del self.stack[i:]
-                        break
-                    if tag in stops:
-                        break
+        if closers:  # li/dd/dt
+            stops = _LIST_SCOPE_STOP - set(closers)
+            for i in range(len(self.stack) - 1, -1, -1):
+                tag = self.stack[i].data
+                if tag in closers:
+                    del self.stack[i:]
+                    break
+                if tag in stops:
+                    break
         if name in _HEADINGS and self.stack and self.stack[-1].data in _HEADINGS:
             self.stack.pop()
 
@@ -533,7 +546,9 @@ class HtmlTreeBuilder:
                 end_tag(tok.name)
             elif cls is HComment:
                 self._current().append(DomNode(COMMENT, tok.data))
-            # HDoctype: skipped
+            elif cls is HDoctype:
+                if self.html is None:  # late doctypes are ignored
+                    self.quirks = False
         idx = 0
         for n in self.doc.iter_descendants():
             n.order = idx
@@ -541,30 +556,45 @@ class HtmlTreeBuilder:
         return self.doc
 
     def _text(self, tok: HText) -> None:
+        text = tok.text
         if self.body is None:
             cur = self._current()
-            in_head_element = (
-                self.head is not None
-                and cur is not self.html
-                and cur is not self.doc
-                and cur is not self.head
-            )
-            if not in_head_element:
-                # ASCII whitespace only (WHATWG); an &nbsp;-only text node
-                # must open the body like any other character data
-                if tok.text.strip(" \t\n\f\r") == "":
-                    return  # whitespace before body is dropped
-                self._open_body()
-            else:
-                cur.append(DomNode(TEXT, tok.text))
+            if cur is not self.html and cur is not self.doc and cur is not self.head:
+                # inside a head element (title/script/...): insert as-is
+                cur.append(DomNode(TEXT, text))
+                return
+            # head-phase whitespace handling (x/net/html inHeadIM /
+            # afterHeadIM): the ASCII-whitespace prefix stays in the head
+            # (or under <html> after </head>); the rest opens the body
+            ws = len(text) - len(text.lstrip(" \t\n\f\r"))
+            if ws:
+                if cur is self.head:
+                    cur.append(DomNode(TEXT, text[:ws]))
+                elif cur is self.html and self.head is not None:
+                    cur.append(DomNode(TEXT, text[:ws]))
+                # before any <head>: whitespace is dropped
+                text = text[ws:]
+            if not text:
+                return
+            self._open_body()
+        cur = self._current()
+        if (
+            cur.data in ("pre", "listing", "textarea")
+            and not cur.children
+            and text.startswith("\n")
+        ):
+            # WHATWG: the newline immediately after <pre>/<listing>/
+            # <textarea> is dropped
+            text = text[1:]
+            if not text:
                 return
         if tok.raw:
             # raw/RCDATA text (script/style/textarea/title): x/net/html's
             # text insertion mode never reconstructs formatting elements
-            self._current().append(DomNode(TEXT, tok.text))
+            cur.append(DomNode(TEXT, text))
             return
         self._reconstruct_afe()
-        self._insert_text_node(tok.text)
+        self._insert_text_node(text)
 
     def _start_tag(self, tok: HStartTag) -> None:
         name = tok.name
@@ -580,6 +610,8 @@ class HtmlTreeBuilder:
             node = self._open_body()
             self._merge_attrs(node, tok.attrs)
             return
+        if name == "image":
+            name = "img"  # WHATWG "in body": <image> is treated as <img>
         element = DomNode(ELEMENT, name)
         for k, v in tok.attrs:
             element.attrs.append(DomAttr("", k, v))
@@ -589,31 +621,35 @@ class HtmlTreeBuilder:
             # nest inside an open head element (e.g. <noscript><link>)
             parent = cur if cur is not self.html and cur is not self.doc else head
             parent.append(element)
-            if (
-                name not in VOID_TAGS
-                and name not in _IMMEDIATE_POP
-                and not tok.self_closing
-            ):
+            # the self-closing flag is IGNORED on non-void HTML elements
+            # (WHATWG; x/net/html keeps them open)
+            if name not in VOID_TAGS and name not in _IMMEDIATE_POP:
                 self.stack.append(element)
             return
         self._open_body()
-        push = (
-            name not in VOID_TAGS
-            and name not in _IMMEDIATE_POP
-            and not tok.self_closing
-        )
+        push = name not in VOID_TAGS and name not in _IMMEDIATE_POP
         if self._select_on_stack():
             # WHATWG "in select": only option/optgroup/script/template
             # content; select-incompatible form controls and (when inside
-            # a table) table structure break out of the select; anything
-            # else is a parse error and IGNORED
-            if name in ("option", "optgroup"):
-                pass  # _auto_close pops siblings, then normal insert
-            elif name == "select":
+            # a table) certain table structure break out of the select;
+            # anything else is a parse error and IGNORED
+            if name == "option":
+                if self.stack and self.stack[-1].data == "option":
+                    self.stack.pop()
+                self._insert_element(element)  # NO reconstruction here
+                return
+            if name == "optgroup":
+                if self.stack and self.stack[-1].data == "option":
+                    self.stack.pop()
+                if self.stack and self.stack[-1].data == "optgroup":
+                    self.stack.pop()
+                self._insert_element(element)
+                return
+            if name == "select":
                 self._pop_to_select()  # parse error: acts as </select>
                 return
-            elif name in ("input", "keygen", "textarea") or (
-                name in _TABLE_STRUCTURE and self._has_open_table()
+            if name in ("input", "keygen", "textarea") or (
+                name in _SELECT_TABLE_BREAKOUT and self._has_open_table()
             ):
                 self._pop_to_select()  # act as </select>, then reprocess
             elif name in ("script", "template"):
@@ -664,17 +700,29 @@ class HtmlTreeBuilder:
             if push and name in _MARKER_TAGS:
                 self.afe.append(_MARKER)
             return
+        if name == "form":
+            # WHATWG form element pointer: a nested <form> is ignored
+            if self.form is not None:
+                return
         if name == "button" and self._name_in_default_scope("button"):
             # implied </button>
             for i in range(len(self.stack) - 1, -1, -1):
                 if self.stack[i].data == "button":
                     del self.stack[i:]
                     break
-        if name not in _SPECIAL or name == "button":
-            # "any other start tag" (and button): reconstruct formatting
+        if name in ("option", "optgroup"):
+            # in body (outside select) only a CURRENT <option> is popped;
+            # optgroups nest (x/net/html inBodyIM)
+            if self.stack and self.stack[-1].data == "option":
+                self.stack.pop()
+        if name not in _SPECIAL or name == "button" or name in _RECONSTRUCT_SPECIALS:
+            # "any other start tag" (plus button, select, and the void
+            # br/area/embed/img/input/keygen/wbr): reconstruct formatting
             self._reconstruct_afe()
         self._auto_close(name)
         self._insert_element(element, push=push)
+        if name == "form":
+            self.form = element
 
     def _end_tag(self, name: str) -> None:
         if name == "head":
@@ -685,21 +733,32 @@ class HtmlTreeBuilder:
             if self.body is not None:
                 self.stack = [self.html, self.body]
             return
+        if self._select_on_stack():
+            if name in ("select", "option", "optgroup"):
+                pass  # normal pop handling below
+            elif name in _SELECT_TABLE_BREAKOUT and self._has_open_table():
+                self._pop_to_select()  # act as </select>, then reprocess
+            elif name in ("script", "template"):
+                pass
+            else:
+                return  # "in select": other end tags (incl </br>) ignored
         if name == "br":
             # WHATWG: </br> is treated as <br>
             self._open_body()
             self._reconstruct_afe()
             self._insert_element(DomNode(ELEMENT, "br"), push=False)
             return
-        if self._select_on_stack():
-            if name in ("select", "option", "optgroup"):
-                pass  # normal pop handling below
-            elif name in _TABLE_END and self._has_open_table():
-                self._pop_to_select()  # act as </select>, then reprocess
-            elif name in ("script", "template"):
-                pass
-            else:
-                return  # "in select": other end tags are ignored
+        if name == "form":
+            # WHATWG: clear the form pointer, then REMOVE just the form
+            # node from the stack (elements above it stay open)
+            node = self.form
+            self.form = None
+            if node is None or not self._node_in_default_scope(node):
+                return  # parse error: ignore
+            i = self._stack_index(node)
+            if i != -1:
+                del self.stack[i]
+            return
         if name in _FORMATTING:
             self._adoption_agency(name)
             return
