@@ -364,3 +364,11 @@ def test_head_whitespace_preserved():
     assert doc == "<html><head> <title>t</title> </head><body>z</body></html>"
     doc2 = serialize_html(parse_html("<title>t</title>\n  hello"))
     assert doc2 == "<html><head><title>t</title>\n  </head><body>hello</body></html>"
+
+
+def test_adjacent_text_nodes_merge():
+    # x/net/html addText: fostered 'a' and 'b' merge into ONE text node
+    doc = parse_html("<div><table>a<tr>b<td>c</td></tr></table></div>")
+    div = [n for n in doc.iter_descendants() if n.data == "div"][0]
+    texts = [c.data for c in div.children if c.type == "text"]
+    assert texts == ["ab"]

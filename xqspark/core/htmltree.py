@@ -323,6 +323,14 @@ class HtmlTreeBuilder:
         if push:
             self.stack.append(element)
 
+    @staticmethod
+    def _append_text(parent: DomNode, text: str) -> None:
+        """x/net/html addText: adjacent text nodes merge into one."""
+        if parent.children and parent.children[-1].type == TEXT:
+            parent.children[-1].data += text
+        else:
+            parent.append(DomNode(TEXT, text))
+
     def _insert_text_node(self, text: str) -> None:
         cur = self._current()
         # ASCII whitespace only: an &nbsp;-only spacer inside a table is
@@ -332,9 +340,23 @@ class HtmlTreeBuilder:
             and cur.type == ELEMENT
             and text.strip(" \t\n\f\r") != ""
         ):
-            self._foster_insert(DomNode(TEXT, text))
+            self._foster_text(text)
         else:
-            cur.append(DomNode(TEXT, text))
+            self._append_text(cur, text)
+
+    def _foster_text(self, text: str) -> None:
+        """Foster-parent character data, merging with a text node already
+        sitting immediately before the table (x/net/html fosterParent)."""
+        node = DomNode(TEXT, text)
+        self._foster_insert(node)
+        parent = node.parent
+        if parent is not None:
+            for i, c in enumerate(parent.children):
+                if c is node:
+                    if i > 0 and parent.children[i - 1].type == TEXT:
+                        parent.children[i - 1].data += text
+                        del parent.children[i]
+                    break
 
     def _foster_insert(self, node: DomNode) -> None:
         """Insert before the last <table> on the stack (x/net/html
@@ -561,7 +583,7 @@ class HtmlTreeBuilder:
             cur = self._current()
             if cur is not self.html and cur is not self.doc and cur is not self.head:
                 # inside a head element (title/script/...): insert as-is
-                cur.append(DomNode(TEXT, text))
+                self._append_text(cur, text)
                 return
             # head-phase whitespace handling (x/net/html inHeadIM /
             # afterHeadIM): the ASCII-whitespace prefix stays in the head
@@ -569,9 +591,9 @@ class HtmlTreeBuilder:
             ws = len(text) - len(text.lstrip(" \t\n\f\r"))
             if ws:
                 if cur is self.head:
-                    cur.append(DomNode(TEXT, text[:ws]))
+                    self._append_text(cur, text[:ws])
                 elif cur is self.html and self.head is not None:
-                    cur.append(DomNode(TEXT, text[:ws]))
+                    self._append_text(cur, text[:ws])
                 # before any <head>: whitespace is dropped
                 text = text[ws:]
             if not text:
@@ -591,7 +613,7 @@ class HtmlTreeBuilder:
         if tok.raw:
             # raw/RCDATA text (script/style/textarea/title): x/net/html's
             # text insertion mode never reconstructs formatting elements
-            cur.append(DomNode(TEXT, text))
+            self._append_text(cur, text)
             return
         self._reconstruct_afe()
         self._insert_text_node(text)
