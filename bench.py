@@ -124,7 +124,7 @@ def _headline_bench(sf_dir: str, cpus: int) -> dict:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         # extraction throughput on a synthetic pages table at bench scale
-        ext = _extract_inproc(spark, rows=60000)
+        ext = _extract_inproc(spark, rows=60000, warmed=True)
         timings["extract_60k_pages"] = ext["seconds"]
         skew = skew_ratio(spark)
     finally:
@@ -172,12 +172,13 @@ def _warm_python_workers(spark, cpus: int) -> None:
     )
 
 
-def _extract_inproc(spark, rows: int) -> dict:
+def _extract_inproc(spark, rows: int, warmed: bool = False) -> dict:
     from xqspark.pipeline import extract_pages, lineage, synthesize_pages
 
     pages = synthesize_pages(spark, n_rows=rows, n_hosts=100).persist()
     n = pages.count()
-    _warm_python_workers(spark, int(spark.sparkContext.defaultParallelism))
+    if not warmed:
+        _warm_python_workers(spark, int(spark.sparkContext.defaultParallelism))
     # best-of-3: this VM's first run carries JIT/codegen + throttle jitter
     best = None
     for _ in range(3):

@@ -243,3 +243,55 @@ def test_lsh_nondefault_config_oracle_parity(spark):
     )
     want = sorted(con.sql(q_lsh_pairs_sql(n_bands=3, n_rows=2)).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_malformed_url_contained(spark):
+    """A malformed URL must not abort the job (ANSI parse_url would):
+    try_parse_url yields NULL host and the row flows through."""
+    rows = [("http://bad host/with space", None, b"<t>x</t>", "x", "en"),
+            ("http://ok.example.com/a", None, b"<t>y</t>", "y", "en")]
+    pages = spark.createDataFrame(rows, schema=synthesize_pages(spark, n_rows=1).schema)
+    out = extract_pages(pages, mode="xpath-single", query="//t").collect()
+    assert len(out) == 2
+    assert all(r["error"] is None for r in out)
+
+
+def test_vectorized_sniffs_match_core(spark):
+    """JVM-side detect/charset columns agree with the pure-Python core on
+    the corner cases: multibyte prefixes, NULLs, xml-stylesheet PIs."""
+    from xqspark.core.charset import declared_encoding
+    from xqspark.core.detect import detect_format
+    from xqspark.udfs import content_type_col, declared_charset_col
+    import pyspark.sql.functions as F
+
+    payloads = [
+        "éééé<body>x</body>",   # 10 BYTES = 4 chars + '<b'
+        '<?xml-stylesheet href="a" encoding="utf-16"?><r/>',
+        '<?xml version="1.0" encoding="utf-16"?><r/>',
+        "{\"j\": 1}",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    got = df.select(
+        content_type_col(F.col("payload")).alias("fmt"),
+        declared_charset_col(F.col("payload")).alias("cs"),
+    ).collect()
+    for p, row in zip(payloads, got):
+        if p is None:
+            assert row["fmt"] is None
+            continue
+        assert row["fmt"] == detect_format(p.encode("utf-8")), p
+        assert (row["cs"] or "") == declared_encoding(p.encode("utf-8")), p
+
+
+def test_xpath_values_udf_scalar_results(spark):
+    from xqspark.udfs import make_xpath_values_udf
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("<r><a/><a/></r>",)], "html string")
+    got = df.select(
+        make_xpath_values_udf("count(//a)")(F.col("html").cast("binary")).alias("c"),
+        make_xpath_values_udf("boolean(//a)")(F.col("html").cast("binary")).alias("b"),
+    ).collect()[0]
+    assert got["c"] == ["2"] and got["b"] == ["true"]

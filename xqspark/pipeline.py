@@ -31,6 +31,7 @@ import os
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -88,7 +89,11 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     if path.startswith("iceberg:"):
-        df.writeTo(path[len("iceberg:"):]).createOrReplace()
+        tbl = df.writeTo(path[len("iceberg:"):])
+        if mode == "append":
+            tbl.append()
+        else:
+            tbl.createOrReplace()
         return
     df.write.mode(mode).parquet(path)
 
@@ -121,9 +126,12 @@ def with_host_salt(df: DataFrame, salts: int | None = None) -> DataFrame:
         salts = 2 * int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-    return df.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST"))).withColumn(
-        "salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salts))
-    )
+    # try_parse_url: under ANSI mode (Spark 4 default) parse_url ABORTS
+    # the job on one malformed URL; a NULL host keeps the per-row
+    # containment contract (the salt still spreads such rows)
+    return df.withColumn(
+        "host", F.try_parse_url(F.col("url"), F.lit("HOST"))
+    ).withColumn("salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salts)))
 
 
 def with_part_key(df: DataFrame, n_buckets: int = 256) -> DataFrame:
@@ -173,15 +181,20 @@ def extract_pages(
     Plan shape: scan(url, html) [column-pruned] -> salted repartition on
     (host, salt) -> ArrowEval mapInPandas -> project. Exactly one shuffle.
     """
-    df = with_part_key(with_host_salt(pages, salts), n_buckets)
-    df = df.select("url", "html", "host", "salt", "part_key")
+    df = with_part_key(pages, n_buckets)
     if repartition_to is None or repartition_to > 0:
+        df = with_host_salt(df, salts)
+        df = df.select("url", "html", "host", "salt", "part_key")
         nparts = repartition_to or df.sparkSession.conf.get(
             "spark.sql.shuffle.partitions"
         )
         df = df.repartition(int(nparts), "host", "salt")
     # repartition_to == 0: caller already partitioned the input (e.g. the
-    # steady-state bench times the UDF stage without the one-time exchange)
+    # steady-state bench times the UDF stage without the one-time exchange,
+    # and streaming avoids a per-microbatch stateful exchange) — host/salt
+    # are never computed, and they are projected away here so the Arrow
+    # batches carry only what the UDF reads
+    df = df.select("url", "html", "part_key")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         extractor = _make_extractor(mode, query, indent)
@@ -247,14 +260,20 @@ def run_with_resume(
     results_path = os.path.join(out_dir, "results")
     manifest_path = os.path.join(out_dir, "manifest")
 
-    keyed = with_part_key(with_host_salt(pages, salts), n_buckets)
+    keyed = with_part_key(pages, n_buckets)  # host/salt not needed here
     # probe via the Spark reader, NOT os.path: the manifest may live on
     # distributed storage (hdfs://, s3a://) invisible to the driver's
     # local filesystem
     try:
         done_parts = spark.read.parquet(manifest_path).select("part_key").distinct()
         done_parts.first()  # force existence check now
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY a missing manifest means "first run" — a transient storage
+        # error must raise, or resume silently re-extracts everything and
+        # appends duplicate lineage rows
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
         done_parts = None
 
     skipped = 0

@@ -133,7 +133,8 @@ def dedup_stream(
             T.StructField("n_cur", T.LongType()),
         ]
     )
-    capacity = max(1, bloom_bits // 16)
+    # rotation capacity keeps fill ~= k*n/bits at 0.25 for ANY k
+    capacity = max(1, bloom_bits // (4 * bloom_hashes))
     n_bytes = bloom_bits >> 3
 
     def dedup(key, batches, state: GroupState):

@@ -85,7 +85,10 @@ def make_beautify_udf(indent: str = "  "):
 
 def make_xpath_values_udf(query: str):
     """extract_xpath: ArrayType(StringType) — one trimmed string-value per
-    matched node (utils.go:253-260). The query compiles once per worker."""
+    matched node (utils.go:253-260); a scalar result (count()/boolean()/
+    string()) becomes a 1-element list printed with the same rules as the
+    -x output (utils.go:246-251). The query compiles once per worker."""
+    from xqspark.core.api import _go_percent_0f
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def extract(html: pd.Series) -> pd.Series:
@@ -96,7 +99,11 @@ def make_xpath_values_udf(query: str):
             val = expr.evaluate(doc)
             if isinstance(val, list):
                 return [go_trim_space(string_value(n)) for n in val]
-            return None
+            if isinstance(val, bool):
+                return ["true" if val else "false"]
+            if isinstance(val, float):
+                return [_go_percent_0f(val)]
+            return [go_trim_space(str(val))]
 
         return _series_map(html, one)
 
@@ -166,15 +173,22 @@ def make_xml_to_json_udf(depth: int = -1, compact: bool = False):
 
 def content_type_col(col):
     """Vectorized format sniffing as a Catalyst expression — the Spark
-    analog of the 10-byte dispatch (cmd/root.go:247-270). Stays JVM-side."""
-    prefix = F.lower(F.substring(col.cast("string"), 1, 10))
+    analog of the 10-byte dispatch (cmd/root.go:247-270). Stays JVM-side.
+
+    The window is the first 10 BYTES (like core detect_format and the Go
+    reference), not 10 characters — a multibyte prefix must not widen it.
+    All markers are ASCII, so byte-wise string ops on the sliced prefix
+    match core's decode-with-replacement semantics. NULL stays NULL."""
+    prefix = F.lower(F.substring(col.cast("binary"), 1, 10).cast("string"))
     return (
-        F.when(prefix.rlike(r"^\s*[\{\[]"), F.lit("json"))
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(F.length(prefix) == 0, F.lit("text"))
+        # Go regexp \s is ASCII-only (no \v, unlike Java \s)
+        .when(prefix.rlike(r"^[ \t\n\f\r]*[\{\[]"), F.lit("json"))
         .when(
             prefix.contains("html") | prefix.contains("<!d") | prefix.contains("<body"),
             F.lit("html"),
         )
-        .when(F.length(prefix) == 0, F.lit("text"))
         .otherwise(F.lit("xml"))
     )
 
@@ -185,8 +199,10 @@ def declared_charset_col(col):
     # utils.go:708-717) — a bare encoding= elsewhere must not match.
     # Like charset.declared_encoding (_RE_DECL), tolerate an optional UTF-8
     # BOM and leading whitespace before the declaration.
+    # the whitespace AFTER '<?xml' is required (charset._RE_DECL): a
+    # '<?xml-stylesheet ... encoding=..?>' PI is NOT a declaration
     return F.regexp_extract(
         F.substring(col.cast("string"), 1, 200),
-        "^\\ufeff?[ \\t\\r\\n]*<\\?xml[^>]*encoding=[\"']([^\"']+)[\"']",
+        "^\\ufeff?[ \\t\\r\\n]*<\\?xml[ \\t\\r\\n][^>]*encoding=[\"']([^\"']+)[\"']",
         1,
     )
