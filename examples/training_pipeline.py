@@ -63,77 +63,50 @@ def main() -> None:
     counts["after_exact_dedup"] = exact.count()
 
     # 3. MinHash+LSH near-dup drop: keep the smallest doc_id of each
-    # candidate pair's component (greedy: drop the larger side)
+    # candidate pair's component (greedy: drop the larger side). Stage 3
+    # reads the MATERIALIZED stage-2 output back, so later stages never
+    # re-run the quality gate + dedup window against the source.
     tmp_dir = args.out + "/_neardup_in"
     exact.write.mode("overwrite").parquet(tmp_dir + "/documents.parquet")
-    from xqspark.queries import lsh_pairs
+    exact = spark.read.parquet(tmp_dir + "/documents.parquet")
+    from xqspark.queries import lsh_pairs, pack_chunks_df
 
     dropped = []
     pairs = lsh_pairs(
         spark, tmp_dir, band_cap=args.band_cap, on_dropped=dropped.append
     )
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    kept = exact.join(losers, "doc_id", "left_anti")
+    kept = exact.join(losers, "doc_id", "left_anti").persist()
     counts["hot_bands_dropped"] = dropped[0] if dropped else 0
     counts["after_near_dedup"] = kept.count()
+    # the LSH band cache served its self-join; kept is materialized now
+    pairs._lsh_cached_bands.unpersist()
 
-    # 4. deterministic hash split
-    # pmod is already non-negative for negative hashes; abs() would throw
-    # on Long.MIN_VALUE under ANSI mode
-    bucket = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(100))
+    # 4. deterministic CONTENT-hash split (same recipe as q_hash_split:
+    # identical text lands in the same split on every engine and run,
+    # even if doc_ids are reassigned on re-ingestion)
+    bucket = F.conv(
+        F.substring(F.md5(F.encode(F.trim("text"), "UTF-8")), 1, 2), 16, 10
+    ).cast("int")
     split = kept.withColumn(
         "split",
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        F.when(bucket < 204, "train")   # ~80%
+        .when(bucket < 230, "val")      # ~10%
+        .otherwise("test"),
     )
 
-    # 5. sequence packing (two-phase distributed cumsum) per split
+    # 5. sequence packing per split (shared two-phase distributed cumsum)
     toks = F.size(
         F.regexp_extract_all(F.trim("text"), F.lit(r"\S+"), F.lit(0))
     ).cast("long")
-    n_bins = max(2 * spark.sparkContext.defaultParallelism, 8)
     with_tok = split.select("doc_id", "split", "text", toks.alias("n_tok"))
-    bounds = with_tok.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    )
-    binned = with_tok.join(F.broadcast(bounds)).withColumn(
-        "bin",
-        F.expr(
-            f"CAST(least({n_bins - 1}, (doc_id - lo) * {n_bins} div (hi - lo + 1)) AS INT)"
-        ),
-    ).drop("lo", "hi")
-    w_in = W.partitionBy("split", "bin").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    cum = binned.repartition(n_bins, "split", "bin").withColumn(
-        "cum", F.sum("n_tok").over(w_in)
-    )
-    offsets = (
-        cum.groupBy("split", "bin")
-        .agg(F.max("cum").alias("bin_total"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("bin_total").over(
-                    W.partitionBy("split")
-                    .orderBy("bin")
-                    .rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("split", "bin", "offset")
-    )
-    packed = cum.join(F.broadcast(offsets), ["split", "bin"]).select(
-        "doc_id",
-        "split",
-        "text",
-        F.floor((F.col("cum") + F.col("offset") - 1) / args.chunk_tokens)
-        .cast("long")
-        .alias("chunk_id"),
-    )
+    packed = pack_chunks_df(
+        with_tok, chunk_tokens=args.chunk_tokens, partition_cols=("split",)
+    ).select("doc_id", "split", "text", "chunk_id")
     packed.write.mode("overwrite").partitionBy("split").parquet(
         args.out + "/packed"
     )
+    kept.unpersist()
     out = spark.read.parquet(args.out + "/packed")
     counts["output_rows"] = out.count()
     counts["output_chunks"] = out.select("split", "chunk_id").distinct().count()

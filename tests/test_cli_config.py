@@ -132,3 +132,28 @@ def test_readme_examples_parity():
     # multi-file sequential concat (cmd/root.go:116-124)
     r = run(X, str(FIXTURES / "xml" / "unformatted5.xml"))
     assert r.stdout.endswith("</user>\n<root/>\n")
+
+
+def test_in_place_stdin_noop():
+    # -i with stdin: the reference loops only over file names — exit 0,
+    # no output, input not processed (cmd/root.go:87-109)
+    r = run("-i", stdin="<a")
+    assert r.returncode == 0 and r.stdout == ""
+
+
+def test_multi_file_continues_after_error(tmp_path):
+    # the streaming loop processes EVERY reader; err is reassigned per
+    # reader so a later success clears an earlier failure (exit 0), and
+    # processing errors print to STDOUT (cmd/root.go:110-129)
+    bad = tmp_path / "bad.xml"
+    bad.write_text("<a")
+    good = tmp_path / "good.xml"
+    good.write_text("<r><c>v</c></r>")
+    r = run(str(bad), str(good))
+    assert "<r>" in r.stdout  # the good file still formatted
+    assert r.returncode == 0  # last err wins: success overwrote it
+
+    r2 = run(str(good), str(bad))
+    assert "<r>" in r2.stdout
+    assert r2.returncode == 1
+    assert "Error:" in r2.stdout  # reference prints via fmt.Println

@@ -114,7 +114,7 @@ def test_pack_chunks_no_global_data_window(spark):
     plan = plan_of(df)
     for line in plan.splitlines():
         if "windowspecdefinition" in line and "doc_id" in line:
-            assert re.search(r"windowspecdefinition\(bin#\d+, doc_id", line), line
+            assert re.search(r"windowspecdefinition\(_bin#\d+, doc_id", line), line
     assert "Reused" in plan
 
 

@@ -295,3 +295,18 @@ def test_xpath_values_udf_scalar_results(spark):
         make_xpath_values_udf("boolean(//a)")(F.col("html").cast("binary")).alias("b"),
     ).collect()[0]
     assert got["c"] == ["2"] and got["b"] == ["true"]
+
+
+def test_pack_chunks_wide_id_range(spark):
+    """Snowflake-scale doc_ids: the bin rule divides by a width instead of
+    multiplying, so (id - lo) * n_bins can't overflow under ANSI mode."""
+    from xqspark.queries import pack_chunks_df
+
+    ids = [5, 1 << 40, 1 << 55, (1 << 62) - 3, 1 << 62]
+    rows = [(i, 10) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {r["doc_id"]: r["chunk_id"] for r in pack_chunks_df(df, chunk_tokens=25).collect()}
+    cum = 0
+    for i in sorted(ids):
+        cum += 10
+        assert got[i] == (cum - 1) // 25, (i, got[i])

@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
         print(exc, file=sys.stderr)
         return 1
 
+    if args.in_place and not args.files:
+        # the reference's in-place branch loops only over file NAMES:
+        # stdin input under -i is never processed — exit 0, no output
+        # (cmd/root.go:87-109)
+        return 0
+
     payloads: list[tuple[str, bytes]] = []
     if args.files:
         for name in args.files:
@@ -100,20 +106,32 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         payloads.append(("-", sys.stdin.buffer.read()))
 
+    if args.in_place:
+        # in-place aborts at the first error (cmd/root.go:88-105
+        # returns err from inside the loop -> cobra stderr, exit 1)
+        for name, data in payloads:
+            try:
+                out = process_one(data, args, indent)
+            except Exception as exc:
+                print(f"Error: {exc}", file=sys.stderr)
+                return 1
+            with open(name, "w", encoding="utf-8", errors="surrogateescape") as fh:
+                fh.write(out)
+        return 0
+
+    # streaming path: every reader is processed even after an earlier
+    # failure, err is REASSIGNED per reader (last error wins), and the
+    # error message goes to STDOUT (cmd/root.go:110-129 fmt.Println)
+    last_err: Exception | None = None
     for name, data in payloads:
         try:
-            out = process_one(data, args, indent)
+            sys.stdout.write(process_one(data, args, indent))
+            last_err = None
         except Exception as exc:
-            print(f"Error: {exc}", file=sys.stderr)
-            return 1
-        if args.in_place:
-            # the reference's in-place branch loops only over file names;
-            # stdin input under -i produces no output (cmd/root.go:87-109)
-            if name != "-":
-                with open(name, "w", encoding="utf-8", errors="surrogateescape") as fh:
-                    fh.write(out)
-        else:
-            sys.stdout.write(out)
+            last_err = exc
+    if last_err is not None:
+        print(f"Error: {last_err}")
+        return 1
     return 0
 
 

@@ -651,7 +651,7 @@ def lsh_pairs(
     ok = sized.filter(F.col("n_band") <= band_cap).select("doc_id", "band")
     left = ok.alias("a")
     right = ok.alias("b")
-    return (
+    result = (
         left.join(right, F.col("a.band") == F.col("b.band"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -659,6 +659,12 @@ def lsh_pairs(
         )
         .distinct()
     )
+    if on_dropped is not None:
+        # hand the cached banded rows to the caller so it can unpersist
+        # them once the result is materialized (the cache serves the
+        # self-join above; releasing it earlier would recompute minhash)
+        result._lsh_cached_bands = sized
+    return result
 
 
 def q_lsh_pairs(spark, sf_dir):
@@ -716,6 +722,25 @@ _COSINE_EXPR = (
 )
 
 
+def _cosine_top_k(pairs: DataFrame, k: int = 3) -> DataFrame:
+    """(query_id, qv, neighbor_id, nv) pairs -> per-query top-k by cosine
+    similarity, deterministic tie-break on neighbor_id."""
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.expr(_COSINE_EXPR).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-3 for the first 10 query vectors. The dot
     product runs JVM-side via higher-order functions (zip_with/aggregate)."""
@@ -728,20 +753,7 @@ def q_ann_topk(spark, sf_dir):
     pairs = n.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = pairs.select(
-        "query_id", "neighbor_id", F.expr(_COSINE_EXPR).alias("sim")
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.round("sim", 4).alias("sim"),
-        )
-    )
+    return _cosine_top_k(pairs)
 
 
 def q_ann_topk_sql():
@@ -775,18 +787,7 @@ def q_ann_ivf_label(spark, sf_dir):
     pairs = n.join(F.broadcast(q), F.col("nlabel") == F.col("qlabel")).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = pairs.select("query_id", "neighbor_id", F.expr(_COSINE_EXPR).alias("sim"))
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.round("sim", 4).alias("sim"),
-        )
-    )
+    return _cosine_top_k(pairs)
 
 
 def q_ann_ivf_label_sql():
@@ -835,20 +836,7 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     pairs = n.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = pairs.select(
-        "query_id", "neighbor_id", F.expr(_COSINE_EXPR).alias("sim")
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.round("sim", 4).alias("sim"),
-        )
-    )
+    return _cosine_top_k(pairs)
 
 
 def q_ann_ivf_kmeans_sql():
@@ -960,66 +948,85 @@ def q_redact_pii_sql():
     )
 
 
+def pack_chunks_df(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    chunk_tokens: int = 1024,
+    partition_cols: tuple = (),
+    n_bins: int | None = None,
+) -> DataFrame:
+    """Two-phase distributed cumulative sum for LM sequence packing (no
+    global window): rows are binned into order-preserving order_col
+    ranges (bin i holds strictly smaller values than bin i+1, derived
+    deterministically from min/max so re-evaluation can't flip a row
+    across bins), per-bin token subtotals become broadcast prefix
+    offsets, and the running total is offset + a bin-partitioned window
+    cumsum. The only global sort is over the n_bins-row offsets table
+    (per partition_cols group, e.g. a train/val/test split column).
+
+    The bin rule divides by a width instead of multiplying ((id-lo) div
+    width, width = range div n_bins + 1) so hash/snowflake-scale id
+    ranges can't overflow BIGINT under ANSI mode. Assumes roughly
+    uniform id density per range; for pathological distributions swap
+    the bin rule for repartitionByRange quantiles on a persisted
+    projection. Returns df + a chunk_id column."""
+    spark = df.sparkSession
+    if n_bins is None:
+        n_bins = max(2 * spark.sparkContext.defaultParallelism, 8)
+    pcols = list(partition_cols)
+    bounds = df.agg(F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi"))
+    binned = (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            "_bin",
+            F.expr(
+                f"CAST(({order_col} - _lo) div "
+                f"((_hi - _lo) div {n_bins} + 1) AS INT)"
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    # one explicit shuffle; both consumers below share it via
+    # ReuseExchange, so the scan/tokenize below it runs once
+    w_in = W.partitionBy(*pcols, "_bin").orderBy(order_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    with_cum = binned.repartition(n_bins, *pcols, "_bin").withColumn(
+        "_cum", F.sum(n_tok_col).over(w_in)
+    )
+    # bin totals = max(cum) per bin — groupBy reuses the partitioning;
+    # the only global-ish sort is the offsets window over n_bins rows
+    off_w = (W.partitionBy(*pcols) if pcols else W).orderBy("_bin").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = (
+        with_cum.groupBy(*pcols, "_bin")
+        .agg(F.max("_cum").alias("_bin_total"))
+        .withColumn("_offset", F.coalesce(F.sum("_bin_total").over(off_w), F.lit(0)))
+        .select(*pcols, "_bin", "_offset")
+    )
+    running = F.col("_cum") + F.col("_offset")
+    return (
+        with_cum.join(F.broadcast(offsets), pcols + ["_bin"])
+        .withColumn(
+            "chunk_id",
+            F.floor((running - 1) / chunk_tokens).cast("long"),
+        )
+        .drop("_bin", "_cum", "_offset")
+    )
+
+
 def q_pack_chunks(spark, sf_dir):
     """LM-training document packing: assign docs (in doc_id order) to
     ~1024-token chunks via a running token total — the sequence-packing
-    step of a pre-training pipeline.
-
-    Two-phase distributed cumulative sum (no global window): rows are
-    binned into order-preserving doc_id ranges (bin i holds strictly
-    smaller doc_ids than bin i+1, derived deterministically from min/max
-    so re-evaluation can't flip a row across bins), per-bin token
-    subtotals become broadcast prefix offsets, and the running total is
-    offset + a *bin-partitioned* window cumsum. The only global sort is
-    over the n_bins-row offsets table. Assumes roughly uniform doc_id
-    density per range (true for sequence ids); for pathological id
-    distributions swap the bin rule for repartitionByRange quantiles on
-    a persisted projection."""
+    step of a pre-training pipeline. See pack_chunks_df for the
+    two-phase distributed plan."""
     toks = F.size(
         F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
     ).cast("long")
     docs = _docs(spark, sf_dir).select("doc_id", toks.alias("n_tok"))
-    n_bins = max(2 * spark.sparkContext.defaultParallelism, 8)
-    bounds = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-    binned = (
-        docs.join(F.broadcast(bounds))
-        .withColumn(
-            "bin",
-            F.expr(
-                f"CAST(least({n_bins - 1}, "
-                f"(doc_id - lo) * {n_bins} div (hi - lo + 1)) AS INT)"
-            ),
-        )
-        .drop("lo", "hi")
-    )
-    # one explicit shuffle on bin; both consumers below share it via
-    # ReuseExchange, so the scan+tokenize runs once
-    w_in = W.partitionBy("bin").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    with_cum = binned.repartition(n_bins, "bin").withColumn(
-        "cum", F.sum("n_tok").over(w_in)
-    )
-    # bin totals = max(cum) per bin — groupBy reuses the bin partitioning;
-    # the only global sort is the offsets window over n_bins rows
-    offsets = (
-        with_cum.groupBy("bin")
-        .agg(F.max("cum").alias("bin_total"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("bin_total").over(
-                    W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bin", "offset")
-    )
-    running = F.col("cum") + F.col("offset")
-    return with_cum.join(F.broadcast(offsets), "bin").select(
-        "doc_id", F.floor((running - 1) / 1024).cast("long").alias("chunk_id")
-    )
+    return pack_chunks_df(docs).select("doc_id", "chunk_id")
 
 
 def q_pack_chunks_sql():
