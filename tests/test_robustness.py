@@ -287,3 +287,71 @@ def test_cdata_end_in_quoted_attr_allowed():
     """The ]]> prohibition is content-only (XML spec + Go's quote<0 gate);
     attribute values may contain it."""
     assert format_xml('<a b="]]>"/>') == '<a b="]]&gt;"/>\n'
+
+
+def test_bare_lt_in_text_single_token():
+    # x/net/html keeps a bare '<' inside ONE text token; splitting let
+    # normalize_spaces strip the interior space
+    from xqspark.core.fmt_html import format_html
+    assert format_html("<p>a < b</p>") == "<p>a &lt; b</p>\n"
+
+
+def test_eof_abutting_raw_close_stays_in_text():
+    # readRawEndTag returns false at EOF: '</script' is raw text
+    from xqspark.core.htmltok import HtmlTokenizer
+    toks = list(HtmlTokenizer("<script>x</script").tokens())
+    assert toks[-1].text == "x</script"
+
+
+def test_trailing_ampersand_is_unexpected_eof():
+    # Go reads entity bytes with mustgetc: EOF inside '&...' errors even
+    # in non-strict mode
+    import pytest as _p
+    from xqspark.core.xmltok import GoXmlTokenizer, XmlSyntaxError
+    for doc in ("<a>x</a>&", "<a>&am</a>"[:7], "<a>&#12"):
+        with _p.raises(XmlSyntaxError):
+            list(GoXmlTokenizer(doc).tokens())
+
+
+def test_directive_first_byte_is_raw():
+    # Go writes the first byte after '<!' to the buffer before scanning,
+    # so '<!>' and quote-initial directives keep scanning to EOF -> error
+    import pytest as _p
+    from xqspark.core.xmltok import GoXmlTokenizer, XmlSyntaxError
+    for doc in ("<!>", "<!'a'>"):
+        with _p.raises(XmlSyntaxError):
+            list(GoXmlTokenizer(doc).tokens())
+    toks = list(GoXmlTokenizer("<!d>").tokens())
+    assert toks[0].text == "d"
+
+
+def test_bogus_comment_from_pi_keeps_question_mark():
+    # WHATWG bogus-comment entry from '<?' reconsumes the '?'
+    from xqspark.core.htmltok import HtmlTokenizer
+    tok = list(HtmlTokenizer("<?xml version='1.0'?>").tokens())[0]
+    assert tok.data == "?xml version='1.0'?"
+    assert tok.raw == "<?xml version='1.0'?>"  # raw span unchanged
+
+
+def test_truncated_comment_trims_dash_dash_bang():
+    from xqspark.core.htmltok import HtmlTokenizer
+    assert list(HtmlTokenizer("<!--abc--!").tokens())[0].data == "abc"
+
+
+def test_raw_text_nul_becomes_replacement():
+    from xqspark.core.htmltok import HtmlTokenizer
+    toks = list(HtmlTokenizer("<script>a\x00b</script>").tokens())
+    assert toks[1].text == "a�b"
+    # non-raw body text drops NULs at tree construction (inBodyIM)
+    from xqspark.core.htmltree import parse_html
+    doc = parse_html("<p>a\x00b</p>")
+    p = [n for n in doc.iter_descendants() if n.data == "p"][0]
+    assert p.inner_text() == "ab"
+
+
+def test_json_depth_limit_matches_go():
+    import pytest as _p
+    from xqspark.core.fmt_json import JsonSyntaxError, format_json
+    assert format_json("[" * 2000 + "1" + "]" * 2000, "").startswith("[")
+    with _p.raises(JsonSyntaxError, match="exceeded max depth"):
+        format_json("[" * 10001 + "1" + "]" * 10001, "")

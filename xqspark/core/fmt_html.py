@@ -8,7 +8,6 @@ close-after-close indentation.
 
 from __future__ import annotations
 
-from .charset import decode_payload
 from .htmltok import HComment, HDoctype, HEndTag, HStartTag, HText, HtmlTokenizer
 from .textutil import VOID_TAGS, escape_text, normalize_spaces
 

@@ -18,8 +18,14 @@ keys, so dict output is key-sorted.
 from __future__ import annotations
 
 import math
+import sys
 
 from .textutil import go_quote
+
+# Go's json scanner allows 10000 nested levels (maxNestingDepth) before
+# erroring; format_token recurses one frame per level, so make sure the
+# interpreter limit clears it (3.11 frames are heap-allocated)
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 25000))
 
 
 class JsonSyntaxError(ValueError):
@@ -180,6 +186,8 @@ def format_json(data: bytes | str, indent: str = "  ") -> str:
         if kind == "delim" and val == "{":
             write("{")
             level += 1
+            if level > 10000:
+                raise JsonSyntaxError("exceeded max depth")
             index = 0
             while True:
                 kind2, val2 = lex.peek()
@@ -212,6 +220,8 @@ def format_json(data: bytes | str, indent: str = "  ") -> str:
         elif kind == "delim" and val == "[":
             write("[")
             level += 1
+            if level > 10000:
+                raise JsonSyntaxError("exceeded max depth")
             index = 0
             while True:
                 kind2, val2 = lex.peek()

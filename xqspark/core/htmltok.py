@@ -103,19 +103,28 @@ class HtmlTokenizer:
                 if tok is not None:
                     yield tok
                 continue
-            lt = s.find("<", self.pos)
+            # scan for the next MARKUP-starting '<' (followed by a letter,
+            # '/', '!' or '?'); a bare '<' stays inside ONE text token like
+            # x/net/html's reconsume (splitting would let normalize_spaces
+            # strip interior whitespace in the formatter)
+            start = self.pos
+            lt = start
+            while True:
+                lt = s.find("<", lt)
+                if lt == -1 or lt + 1 >= n:
+                    lt = -1
+                    break
+                c = s[lt + 1]
+                if (c.isascii() and c.isalpha()) or c in "/!?":
+                    break
+                lt += 1
             if lt == -1:
-                yield self._text_token(s[self.pos:n], False)
+                yield self._text_token(s[start:n], False)
                 self.pos = n
                 break
-            if lt > self.pos:
-                yield self._text_token(s[self.pos:lt], False)
-                self.pos = lt
-            # self.pos is at '<'
-            if self.pos + 1 >= n:
-                yield self._text_token("<", False)
-                self.pos = n
-                break
+            if lt > start:
+                yield self._text_token(s[start:lt], False)
+            self.pos = lt
             c = s[self.pos + 1]
             if c.isascii() and c.isalpha():
                 m = _H_FAST_TAG.match(s, self.pos)
@@ -165,7 +174,7 @@ class HtmlTokenizer:
                     return
                 yield tok
             elif c == "?":
-                yield self._read_bogus_comment(self.pos)
+                yield self._read_bogus_comment(self.pos, data_from=1)
             else:
                 # '<' is literal text; emit it and continue scanning after.
                 nxt = s.find("<", self.pos + 1)
@@ -191,7 +200,8 @@ class HtmlTokenizer:
             self.raw_tag = ""
             if not text:
                 return None
-            return HText(_convert_newlines(text), raw=True)
+            text = _convert_newlines(text).replace("\x00", "�")
+            return HText(text, raw=True)
         if tag == "script":
             end = close_start = self._scan_script()
         else:
@@ -205,7 +215,9 @@ class HtmlTokenizer:
                     close_start = n
                     break
                 after = idx + len(needle)
-                if after >= n or s[after] in _WS or s[after] in "/>":
+                # EOF right after '</tag' is NOT a close tag (x/net/html
+                # readRawEndTag returns false at EOF: the text keeps it)
+                if after < n and (s[after] in _WS or s[after] in "/>"):
                     end = idx
                     close_start = idx
                     break
@@ -217,6 +229,9 @@ class HtmlTokenizer:
             return None
         is_raw = tag not in ("textarea", "title")
         text = _convert_newlines(raw_content)
+        if "\x00" in text:
+            # raw/RCDATA NULs become U+FFFD (x/net/html convertNUL)
+            text = text.replace("\x00", "�")
         if not is_raw:
             text = unescape(text)
         return HText(text, raw=is_raw)
@@ -234,13 +249,14 @@ class HtmlTokenizer:
             after = idx + 8  # len("</script")
             if s[idx : idx + 8].lower() != "</script":
                 return False
-            return after >= n or s[after] in _WS or s[after] in "/>"
+            # EOF-abutting '</script' stays in the text (readRawEndTag)
+            return after < n and (s[after] in _WS or s[after] in "/>")
 
         def open_matches(idx: int) -> bool:
             after = idx + 7  # len("<script")
             if s[idx : idx + 7].lower() != "<script":
                 return False
-            return after >= n or s[after] in _WS or s[after] in "/>"
+            return after < n and (s[after] in _WS or s[after] in "/>")
 
         state = "data"
         while i < n:
@@ -398,16 +414,19 @@ class HtmlTokenizer:
             raw_val = s[vstart:self.pos]
         return key, unescape(_convert_newlines(raw_val), in_attr=True)
 
-    def _read_bogus_comment(self, start: int) -> HComment:
+    def _read_bogus_comment(self, start: int, data_from: int = 2) -> HComment:
+        """data_from: offset of the first data char relative to start.
+        '<?' RECONSUMES the '?' (WHATWG bogus-comment entry), so its data
+        starts at +1; '</x' and '<!x' start at +2."""
         s, n = self.s, self.n
         end = s.find(">", start)
         if end == -1:
             raw = s[start:n]
-            data = raw[2:]
+            data = raw[data_from:]
             self.pos = n
         else:
             raw = s[start : end + 1]
-            data = s[start + 2 : end]
+            data = s[start + data_from : end]
             self.pos = end + 1
         return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
 
@@ -437,8 +456,10 @@ class HtmlTokenizer:
                 raw = s[start:n]
                 data = s[start + 4 : n]
                 # EOF-truncated: trim a trailing partial terminator
-                # (x/net/html calculateAbruptCommentDataEnd)
-                if data.endswith("--"):
+                # (x/net/html calculateAbruptCommentDataEnd: --! then -- then -)
+                if data.endswith("--!"):
+                    data = data[:-3]
+                elif data.endswith("--"):
                     data = data[:-2]
                 elif data.endswith("-"):
                     data = data[:-1]

@@ -579,6 +579,11 @@ class HtmlTreeBuilder:
 
     def _text(self, tok: HText) -> None:
         text = tok.text
+        if not tok.raw and "\x00" in text:
+            # x/net/html inBodyIM strips NULs from (non-raw) text tokens
+            text = text.replace("\x00", "")
+            if not text:
+                return
         if self.body is None:
             cur = self._current()
             if cur is not self.html and cur is not self.doc and cur is not self.head:

@@ -248,14 +248,18 @@ class GoXmlTokenizer:
 
     def _entity(self) -> str:
         """Decode one &...; sequence; on failure return the raw consumed text
-        (non-strict) or raise (strict). Mirrors Go text()'s entity branch."""
+        (non-strict) or raise (strict). Mirrors Go text()'s entity branch.
+        EOF anywhere inside the entity scan is an "unexpected EOF" error
+        regardless of Strict (Go reads entity bytes with mustgetc)."""
         start = self.pos
         self.pos += 1  # consume '&'
         if self.pos >= self.n:
-            return "&"
+            raise XmlSyntaxError("unexpected EOF")
         ch = self.s[self.pos]
         if ch == "#":
             self.pos += 1
+            if self.pos >= self.n:
+                raise XmlSyntaxError("unexpected EOF")
             hexmode = False
             if self._peek() in ("x", "X"):
                 # Go only accepts lowercase 'x'; '&#X..' is malformed.
@@ -272,7 +276,9 @@ class GoXmlTokenizer:
                 # which Go treats as a malformed entity)
                 while self.pos < self.n and "0" <= self.s[self.pos] <= "9":
                     self.pos += 1
-            if self.pos >= self.n or self.s[self.pos] != ";" or self.pos == digits_start:
+            if self.pos >= self.n:
+                raise XmlSyntaxError("unexpected EOF")
+            if self.s[self.pos] != ";" or self.pos == digits_start:
                 return self._entity_fail(start)
             num = int(self.s[digits_start:self.pos], 16 if hexmode else 10)
             if num > 0x10FFFF:
@@ -288,8 +294,10 @@ class GoXmlTokenizer:
             self.pos += 1
             while self.pos < self.n and _is_name_char(self.s[self.pos]):
                 self.pos += 1
+        if self.pos >= self.n:
+            raise XmlSyntaxError("unexpected EOF")
         name = self.s[name_start:self.pos]
-        if not name or self.pos >= self.n or self.s[self.pos] != ";":
+        if not name or self.s[self.pos] != ";":
             return self._entity_fail(start)
         self.pos += 1
         if name in _PREDEFINED_ENTITIES:
@@ -491,6 +499,10 @@ class GoXmlTokenizer:
         buf: list[str] = []
         inquote = ""
         depth = 0
+        # Go writes the FIRST byte after '<!' to the buffer RAW, before
+        # the quote/terminator scan ('<!>' keeps scanning past the '>',
+        # a leading quote does not open a quoted section)
+        buf.append(self._getc())
         while True:
             b = self._getc()
             if not inquote and b == ">" and depth == 0:
