@@ -23,9 +23,10 @@ import sys
 from .textutil import go_quote
 
 # Go's json scanner allows 10000 nested levels (maxNestingDepth) before
-# erroring; format_token recurses one frame per level, so make sure the
-# interpreter limit clears it (3.11 frames are heap-allocated)
-sys.setrecursionlimit(max(sys.getrecursionlimit(), 25000))
+# erroring; format_token recurses one frame per level. The limit check
+# lives in format_json itself, NOT at import: third-party imports (jedi
+# sets 3000 unconditionally) can clobber a process-global value set here.
+_NEEDED_RECURSION_LIMIT = 25000
 
 
 class JsonSyntaxError(ValueError):
@@ -173,6 +174,8 @@ class _Lexer:
 
 def format_json(data: bytes | str, indent: str = "  ") -> str:
     """Beautify JSON preserving number lexemes (FormatJson, utils.go:447-597)."""
+    if sys.getrecursionlimit() < _NEEDED_RECURSION_LIMIT:
+        sys.setrecursionlimit(_NEEDED_RECURSION_LIMIT)
     if isinstance(data, bytes):
         # Go's json decoder coerces invalid UTF-8 in strings to U+FFFD
         data = data.decode("utf-8", errors="replace")
