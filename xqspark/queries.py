@@ -1130,6 +1130,39 @@ def q_multimodal_meta_sql():
     )
 
 
+def q_beautify_auto(spark, sf_dir):
+    """xq's DEFAULT behavior end-to-end: per-document format detection
+    (cmd/root.go:247-270) routes each payload to the JSON, HTML, or XML
+    beautifier — one mixed-content column, three formatters, one UDF."""
+    from xqspark.udfs import make_beautify_udf
+
+    udf = make_beautify_udf("  ")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    payload = (
+        F.when(m == 0, F.concat(F.lit('{"a": '), F.col("doc_id"), F.lit("}")))
+        .when(
+            m == 1,
+            F.concat(F.lit("<!doctype html><p>"), F.col("source"), F.lit("</p>")),
+        )
+        .otherwise(
+            F.concat(F.lit("<r><c>"), F.col("source"), F.lit("</c></r>"))
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", udf(payload.cast("binary")).alias("pretty")
+    )
+
+
+def q_beautify_auto_sql():
+    return (
+        "SELECT doc_id, CASE doc_id % 3 "
+        "WHEN 0 THEN '{' || chr(10) || '  \"a\": ' || doc_id || chr(10) || '}' || chr(10) "
+        "WHEN 1 THEN '<!doctype html>' || chr(10) || '<p>' || source || '</p>' || chr(10) "
+        "ELSE '<r>' || chr(10) || '  <c>' || source || '</c>' || chr(10) || '</r>' || chr(10) "
+        "END AS pretty FROM documents"
+    )
+
+
 def q_css_misnested(spark, sf_dir):
     """CSS selection on MISNESTED real-web markup: the adoption agency
     must rebuild <p><b>x<i>S</b>S!</i> into p > [b > (x, i > S), i > S!]
@@ -1327,6 +1360,7 @@ QUERIES = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "beautify_auto": q_beautify_auto,
     "css_misnested": q_css_misnested,
     "error_containment": q_error_containment,
     "simhash": q_simhash,
@@ -1369,6 +1403,7 @@ ORACLES = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans_sql(),
     "embedding_neardup": q_embedding_neardup_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
+    "beautify_auto": q_beautify_auto_sql(),
     "css_misnested": q_css_misnested_sql(),
     "error_containment": q_error_containment_sql(),
     "hash_split": q_hash_split_sql(),
