@@ -121,3 +121,21 @@ def test_attr_s_flag_rejected_like_cascadia():
     for bad in ('[href^="http" s]', '[href^="http" S]'):
         with pytest.raises(CssError):
             compile_css(bad)
+
+
+def test_selector_parity_sweep():
+    doc = "<div><p>a</p><span>b</span><p>c</p><p>d</p></div>"
+    cases = [
+        ("p:nth-child(2n+1)", ["a", "c"]),
+        ("p:nth-of-type(2)", ["c"]),
+        ("p:last-of-type", ["d"]),
+        ("P", ["a", "c", "d"]),         # type selectors are ASCII-folded
+        ("p:NTH-CHILD(1)", ["a"]),
+        ("span + p", ["c"]),
+        ("span ~ p", ["c", "d"]),
+        ("p:not(:first-child)", ["c", "d"]),
+        ("p:nth-child(odd)", ["a", "c"]),
+        ("p:nth-child(even)", ["d"]),
+    ]
+    for s, want in cases:
+        assert sel(s, doc) == want, s

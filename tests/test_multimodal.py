@@ -84,3 +84,37 @@ def test_dht_is_not_a_frame_header():
 def test_pixel_decode_is_a_declared_stub():
     with pytest.raises(NotImplementedError):
         pixel_decode_stub(b"\x00")
+
+
+def wav(channels=2, rate=44100, frames=100, bits=16):
+    block = channels * bits // 8
+    data_size = frames * block
+    return (
+        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        + b"data" + data_size.to_bytes(4, "little") + b"\x00" * data_size
+    )
+
+
+def test_wav_metadata():
+    from xqspark.multimodal import parse_audio_meta
+
+    assert parse_audio_meta(wav(2, 44100, 100)) == ("wav", 2, 44100, 100)
+    assert parse_audio_meta(wav(1, 8000, 7)) == ("wav", 1, 8000, 7)
+    # extra chunk before fmt (LIST) is skipped via word-aligned walking
+    extra = (b"RIFF" + (200).to_bytes(4, "little") + b"WAVE"
+             + b"LIST" + (5).to_bytes(4, "little") + b"abcde\x00"  # odd -> padded
+             + wav(2, 22050, 3)[12:])
+    assert parse_audio_meta(extra) == ("wav", 2, 22050, 3)
+
+
+def test_wav_containment():
+    from xqspark.multimodal import parse_audio_meta
+
+    for blob in [None, b"", b"RIFF", b"RIFFxxxxWAVE", b"plain text",
+                 wav()[:20], b"RIFF" + b"\x00" * 8,
+                 b"RIFF\xff\xff\xff\xffWAVEfmt \xff\xff\xff\xff"]:
+        parse_audio_meta(blob)  # must not raise

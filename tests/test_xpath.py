@@ -178,3 +178,35 @@ def test_relative_from_context_via_predicate():
     doc = "<r><row><k>x</k><v>10</v></row><row><k>y</k><v>20</v></row></r>"
     assert sv("//row[k='y']/v", doc) == "20"
     assert sv("sum(//row/v)", doc) == "30"
+
+
+def test_function_parity_sweep():
+    """Wider XPath 1.0 function/axis sweep (spec-derived expecteds)."""
+    from xqspark.core.api import xpath_query
+
+    doc = b"<r><a id='1'>alpha</a><a id='2'>beta</a><b>x y z</b><n>42</n></r>"
+    cases = [
+        ("substring('12345', 2, 3)", "234\n"),
+        ("substring-before('a-b', '-')", "a\n"),
+        ("substring-after('a-b', '-')", "b\n"),
+        ("normalize-space('  a   b ')", "a b\n"),
+        ("translate('abc', 'ab', 'AB')", "ABc\n"),
+        ("string-length('abcd')", "4\n"),
+        ("count(//a)", "2\n"),
+        ("sum(//n)", "42\n"),
+        ("floor(2.7)", "2\n"),
+        ("ceiling(2.1)", "3\n"),
+        ("round(2.5)", "3\n"),
+        ("//a[position()=last()]", "beta\n"),
+        ("name(//a[1])", "a\n"),
+        ("//a[starts-with(., 'al')]", "alpha\n"),
+        ("number(//n) + 1", "43\n"),
+        ("not(boolean(//missing))", "true\n"),
+        ("(//a)[2]", "beta\n"),
+        ("//a[1] | //b", "alpha\nx y z\n"),
+        ("string(/r/a/@id)", "1\n"),
+        ("//a/following-sibling::b", "x y z\n"),
+        ("//b/preceding-sibling::a[1]", "beta\n"),
+    ]
+    for q, want in cases:
+        assert xpath_query(doc, q) == want, q

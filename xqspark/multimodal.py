@@ -65,6 +65,35 @@ def _jpeg_dims(data: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_audio_meta(data: bytes | None) -> tuple[str, int, int, int] | None:
+    """(format, channels, sample_rate, n_frames) from a RIFF/WAVE
+    container (public spec: RIFF chunks; fmt  = PCM header, data = sample
+    bytes). Pure struct reads; malformed input returns None, never
+    raises."""
+    if not data or len(data) < 12:
+        return None
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    n = len(data)
+    channels = sample_rate = block_align = None
+    data_size = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt " and body + 16 <= n:
+            channels = int.from_bytes(data[body + 2 : body + 4], "little")
+            sample_rate = int.from_bytes(data[body + 4 : body + 8], "little")
+            block_align = int.from_bytes(data[body + 12 : body + 14], "little")
+        elif cid == b"data":
+            data_size = size
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if not channels or not sample_rate or not block_align or data_size is None:
+        return None
+    return ("wav", channels, sample_rate, data_size // block_align)
+
+
 def pixel_decode_stub(data: bytes) -> None:
     """Pixel-level decode needs an image library this container doesn't
     ship; the metadata path above never calls this."""

@@ -1199,6 +1199,91 @@ def q_css_misnested_sql():
     )
 
 
+_MM_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """Audio metadata decode: RIFF/WAVE containers synthesized JVM-side
+    per row (real fmt /data chunk layout, little-endian fields built with
+    hex byte swaps), parsed back by pure-Python struct reads of the
+    public spec. Every 5th row is garbage the decoder must contain."""
+    from xqspark.multimodal import parse_audio_meta
+
+    def le(colexpr, nbytes):
+        h = F.lpad(F.hex(colexpr), 2 * nbytes, "0")
+        return F.concat(
+            *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+        )
+
+    c = (F.pmod(F.col("doc_id"), F.lit(2)) + 1).cast("int")
+    rate = (F.lit(8000) * (F.pmod(F.col("doc_id"), F.lit(4)) + 1)).cast("int")
+    frames = (F.pmod(F.col("doc_id"), F.lit(100)) + 1).cast("int")
+    block = (c * 2).cast("int")
+    data_size = (frames * block).cast("int")
+    byte_rate = (rate * block).cast("int")
+    wav_hex = F.concat(
+        F.lit("52494646"), le(F.lit(36) + data_size, 4), F.lit("57415645"),
+        F.lit("666D7420"), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(c, 2), le(rate, 4), le(byte_rate, 4),
+        le(block, 2), le(F.lit(16), 2),
+        F.lit("64617461"), le(data_size, 4),
+    )
+    blob = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.encode(F.col("source"), "UTF-8"),
+    ).otherwise(F.unhex(wav_hex))
+    df = _docs(spark, sf_dir).select("doc_id", blob.alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fmts, chs, rates_, frs = [], [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                ids.append(doc_id)
+                meta = parse_audio_meta(
+                    None if payload is None else bytes(payload)
+                )
+                if meta is None:
+                    fmts.append("unknown")
+                    chs.append(None)
+                    rates_.append(None)
+                    frs.append(None)
+                else:
+                    fmts.append(meta[0])
+                    chs.append(meta[1])
+                    rates_.append(meta[2])
+                    frs.append(meta[3])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    "channels": pd.Series(chs, dtype="Int32"),
+                    "sample_rate": pd.Series(rates_, dtype="Int32"),
+                    "n_frames": pd.Series(frs, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, _MM_AUDIO_SCHEMA)
+
+
+def q_multimodal_audio_sql():
+    return (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 5 = 0 THEN 'unknown' ELSE 'wav' END AS fmt, "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 2 + 1 END::INTEGER AS channels, "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 8000 * (doc_id % 4 + 1) END::INTEGER AS sample_rate, "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 100 + 1 END::INTEGER AS n_frames "
+        "FROM documents"
+    )
+
+
 def q_error_containment(spark, sf_dir):
     """Adversarial containment through the REAL extraction path: 3 of
     every 4 payloads are hostile (truncated XML -> unexpected EOF, '<'
@@ -1360,6 +1445,7 @@ QUERIES = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_audio": q_multimodal_audio,
     "beautify_auto": q_beautify_auto,
     "css_misnested": q_css_misnested,
     "error_containment": q_error_containment,
@@ -1403,6 +1489,7 @@ ORACLES = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans_sql(),
     "embedding_neardup": q_embedding_neardup_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
+    "multimodal_audio": q_multimodal_audio_sql(),
     "beautify_auto": q_beautify_auto_sql(),
     "css_misnested": q_css_misnested_sql(),
     "error_containment": q_error_containment_sql(),
