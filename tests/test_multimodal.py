@@ -118,3 +118,39 @@ def test_wav_containment():
                  wav()[:20], b"RIFF" + b"\x00" * 8,
                  b"RIFF\xff\xff\xff\xffWAVEfmt \xff\xff\xff\xff"]:
         parse_audio_meta(blob)  # must not raise
+
+
+def mp4(timescale=1000, duration=500, version=0):
+    mvhd_body = bytes([version, 0, 0, 0])
+    if version == 0:
+        mvhd_body += (0).to_bytes(4, "big") * 2
+        mvhd_body += timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        mvhd_body += b"\x00" * 80
+    else:
+        mvhd_body += (0).to_bytes(8, "big") * 2
+        mvhd_body += timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+        mvhd_body += b"\x00" * 80
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + (0x200).to_bytes(4, "big")
+    return ftyp + moov
+
+
+def test_mp4_metadata():
+    from xqspark.multimodal import parse_video_meta
+
+    assert parse_video_meta(mp4(1000, 500)) == ("mp4", 1000, 500)
+    assert parse_video_meta(mp4(90000, 123456, version=1)) == ("mp4", 90000, 123456)
+    # a free box before moov is skipped
+    blob = mp4()
+    free = (12).to_bytes(4, "big") + b"free" + b"\x00" * 4
+    assert parse_video_meta(blob[:16] + free + blob[16:]) == ("mp4", 1000, 500)
+
+
+def test_mp4_containment():
+    from xqspark.multimodal import parse_video_meta
+
+    for blob in [None, b"", b"not a video", mp4()[:10], mp4()[:30],
+                 b"\x00\x00\x00\x10ftypisom" + b"\x00" * 4,  # no moov
+                 b"\x00\x00\x00\x00ftyp" + b"\x00" * 20]:    # size 0 bail
+        parse_video_meta(blob)  # must not raise

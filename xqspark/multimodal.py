@@ -94,6 +94,54 @@ def parse_audio_meta(data: bytes | None) -> tuple[str, int, int, int] | None:
     return ("wav", channels, sample_rate, data_size // block_align)
 
 
+def parse_video_meta(data: bytes | None) -> tuple[str, int, int] | None:
+    """(format, timescale, duration) from an ISO BMFF / MP4 container
+    (public spec: ISO 14496-12 box structure; ftyp brand check, then the
+    moov/mvhd movie header). Version 0 and 1 mvhd boxes supported.
+    Malformed input returns None, never raises."""
+    if not data or len(data) < 12:
+        return None
+    if data[4:8] != b"ftyp":
+        return None
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        if size < 8:
+            return None  # size==1 (64-bit) unsupported, 0 = to-EOF: bail
+        if btype == b"moov":
+            return _mvhd(data, pos + 8, min(pos + size, n))
+        pos += size
+    return None
+
+
+def _mvhd(data: bytes, pos: int, end: int) -> tuple[str, int, int] | None:
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        if size < 8:
+            return None
+        if btype == b"mvhd":
+            body = pos + 8
+            if body + 4 > end:
+                return None
+            version = data[body]
+            if version == 0:
+                if body + 20 > end:
+                    return None
+                timescale = int.from_bytes(data[body + 12 : body + 16], "big")
+                duration = int.from_bytes(data[body + 16 : body + 20], "big")
+            else:  # version 1: 64-bit times
+                if body + 32 > end:
+                    return None
+                timescale = int.from_bytes(data[body + 20 : body + 24], "big")
+                duration = int.from_bytes(data[body + 24 : body + 32], "big")
+            return ("mp4", timescale, duration)
+        pos += size
+    return None
+
+
 def pixel_decode_stub(data: bytes) -> None:
     """Pixel-level decode needs an image library this container doesn't
     ship; the metadata path above never calls this."""

@@ -1284,6 +1284,82 @@ def q_multimodal_audio_sql():
     )
 
 
+_MM_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("timescale", T.IntegerType(), True),
+        T.StructField("duration", T.IntegerType(), True),
+    ]
+)
+
+
+def q_multimodal_video(spark, sf_dir):
+    """Video metadata decode: ISO BMFF/MP4 containers synthesized
+    JVM-side per row (ftyp + moov/mvhd v0 boxes, big-endian fields),
+    parsed back by a pure-Python box walk. Every 4th row is garbage the
+    decoder must contain."""
+    from xqspark.multimodal import parse_video_meta
+
+    def be(colexpr, nbytes):
+        return F.lpad(F.hex(colexpr), 2 * nbytes, "0")
+
+    timescale = (F.lit(1000) * (F.pmod(F.col("doc_id"), F.lit(3)) + 1)).cast("int")
+    duration = (F.pmod(F.col("doc_id"), F.lit(5000)) + 1).cast("int")
+    # ftyp(16) + moov(8 + mvhd 108)
+    mp4_hex = F.concat(
+        F.lit("000000106674797069736F6D00000200"),       # ftyp isom
+        F.lit("00000074"), F.lit("6D6F6F76"),             # moov size=116
+        F.lit("0000006C"), F.lit("6D766864"),             # mvhd size=108
+        F.lit("00000000"),                                # version 0 + flags
+        F.lit("00000000"), F.lit("00000000"),             # creation/modif
+        be(timescale, 4), be(duration, 4),
+        F.lit("0" * 160),                                 # rate..next_track (80 B)
+    )
+    blob = F.when(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+        F.encode(F.col("source"), "UTF-8"),
+    ).otherwise(F.unhex(mp4_hex))
+    df = _docs(spark, sf_dir).select("doc_id", blob.alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fmts, tss, durs = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                ids.append(doc_id)
+                meta = parse_video_meta(
+                    None if payload is None else bytes(payload)
+                )
+                if meta is None:
+                    fmts.append("unknown")
+                    tss.append(None)
+                    durs.append(None)
+                else:
+                    fmts.append(meta[0])
+                    tss.append(meta[1])
+                    durs.append(meta[2])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    "timescale": pd.Series(tss, dtype="Int32"),
+                    "duration": pd.Series(durs, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, _MM_VIDEO_SCHEMA)
+
+
+def q_multimodal_video_sql():
+    return (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 4 = 0 THEN 'unknown' ELSE 'mp4' END AS fmt, "
+        "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 1000 * (doc_id % 3 + 1) END::INTEGER AS timescale, "
+        "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE doc_id % 5000 + 1 END::INTEGER AS duration "
+        "FROM documents"
+    )
+
+
 def q_error_containment(spark, sf_dir):
     """Adversarial containment through the REAL extraction path: 3 of
     every 4 payloads are hostile (truncated XML -> unexpected EOF, '<'
@@ -1446,6 +1522,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_video": q_multimodal_video,
     "beautify_auto": q_beautify_auto,
     "css_misnested": q_css_misnested,
     "error_containment": q_error_containment,
@@ -1490,6 +1567,7 @@ ORACLES = {
     "embedding_neardup": q_embedding_neardup_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
     "multimodal_audio": q_multimodal_audio_sql(),
+    "multimodal_video": q_multimodal_video_sql(),
     "beautify_auto": q_beautify_auto_sql(),
     "css_misnested": q_css_misnested_sql(),
     "error_containment": q_error_containment_sql(),
