@@ -72,21 +72,24 @@ def main() -> None:
     from xqspark.queries import lsh_pairs, pack_chunks_df
 
     dropped = []
+    lsh_cache = []
     pairs = lsh_pairs(
-        spark, tmp_dir, band_cap=args.band_cap, on_dropped=dropped.append
+        spark, tmp_dir, band_cap=args.band_cap, on_dropped=dropped.append,
+        cache_out=lsh_cache,
     )
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = exact.join(losers, "doc_id", "left_anti").persist()
     counts["hot_bands_dropped"] = dropped[0] if dropped else 0
     counts["after_near_dedup"] = kept.count()
     # the LSH band cache served its self-join; kept is materialized now
-    pairs._lsh_cached_bands.unpersist()
+    for cached in lsh_cache:
+        cached.unpersist()
 
     # 4. deterministic CONTENT-hash split (same recipe as q_hash_split:
     # identical text lands in the same split on every engine and run,
     # even if doc_ids are reassigned on re-ingestion)
     bucket = F.conv(
-        F.substring(F.md5(F.encode(F.trim("text"), "UTF-8")), 1, 2), 16, 10
+        F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 2), 16, 10
     ).cast("int")
     split = kept.withColumn(
         "split",

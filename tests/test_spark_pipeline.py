@@ -299,10 +299,11 @@ def test_xpath_values_udf_scalar_results(spark):
 
 def test_pack_chunks_wide_id_range(spark):
     """Snowflake-scale doc_ids: the bin rule divides by a width instead of
-    multiplying, so (id - lo) * n_bins can't overflow under ANSI mode."""
+    multiplying IN DECIMAL(38,0), so even ids spanning more than half
+    the signed 64-bit domain can't overflow under ANSI mode."""
     from xqspark.queries import pack_chunks_df
 
-    ids = [5, 1 << 40, 1 << 55, (1 << 62) - 3, 1 << 62]
+    ids = [-(1 << 62), -5, 5, 1 << 40, 1 << 55, (1 << 62) - 3, 1 << 62]
     rows = [(i, 10) for i in ids]
     df = spark.createDataFrame(rows, "doc_id long, n_tok long")
     got = {r["doc_id"]: r["chunk_id"] for r in pack_chunks_df(df, chunk_tokens=25).collect()}

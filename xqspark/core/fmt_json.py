@@ -174,8 +174,17 @@ class _Lexer:
 
 def format_json(data: bytes | str, indent: str = "  ") -> str:
     """Beautify JSON preserving number lexemes (FormatJson, utils.go:447-597)."""
-    if sys.getrecursionlimit() < _NEEDED_RECURSION_LIMIT:
+    prev_limit = sys.getrecursionlimit()
+    if prev_limit < _NEEDED_RECURSION_LIMIT:
         sys.setrecursionlimit(_NEEDED_RECURSION_LIMIT)
+        try:
+            return _format_json_inner(data, indent)
+        finally:
+            sys.setrecursionlimit(prev_limit)
+    return _format_json_inner(data, indent)
+
+
+def _format_json_inner(data: bytes | str, indent: str) -> str:
     if isinstance(data, bytes):
         # Go's json decoder coerces invalid UTF-8 in strings to U+FFFD
         data = data.decode("utf-8", errors="replace")

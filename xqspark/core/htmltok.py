@@ -175,12 +175,6 @@ class HtmlTokenizer:
                 yield tok
             elif c == "?":
                 yield self._read_bogus_comment(self.pos, data_from=1)
-            else:
-                # '<' is literal text; emit it and continue scanning after.
-                nxt = s.find("<", self.pos + 1)
-                end = n if nxt == -1 else nxt
-                yield self._text_token(s[self.pos:end], False)
-                self.pos = end
 
     # ---- helpers ----
 

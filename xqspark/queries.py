@@ -610,6 +610,7 @@ def lsh_pairs(
     n_rows: int = 2,
     band_cap: int = 64,
     on_dropped=None,
+    cache_out: list | None = None,
 ):
     """MinHash+LSH near-dup candidates, bands x rows configurable.
 
@@ -624,7 +625,9 @@ def lsh_pairs(
     ``on_dropped(n_hot_bands)`` — optional callback so batch drivers can
     log how many bands the cap removed. It runs an extra action, so the
     banded rows are persisted first (and stay cached for the self-join);
-    None skips both the action and the caching.
+    None skips both the action and the caching. Pass ``cache_out`` (a
+    list) to receive the persisted DataFrame so you can unpersist it
+    once the result is materialized.
     """
     sig = _minhash_sig(spark, sf_dir, n_hashes=n_bands * n_rows)
     band_exprs = [
@@ -641,6 +644,8 @@ def lsh_pairs(
     )
     if on_dropped is not None:
         sized = sized.persist()
+        if cache_out is not None:
+            cache_out.append(sized)
         n_hot = (
             sized.filter(F.col("n_band") > band_cap)
             .select("band")
@@ -659,11 +664,6 @@ def lsh_pairs(
         )
         .distinct()
     )
-    if on_dropped is not None:
-        # hand the cached banded rows to the caller so it can unpersist
-        # them once the result is materialized (the cache serves the
-        # self-join above; releasing it earlier would recompute minhash)
-        result._lsh_cached_bands = sized
     return result
 
 
@@ -976,13 +976,16 @@ def pack_chunks_df(
         n_bins = max(2 * spark.sparkContext.defaultParallelism, 8)
     pcols = list(partition_cols)
     bounds = df.agg(F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi"))
+    # DECIMAL(38,0) arithmetic: ids spanning more than half the BIGINT
+    # domain (signed 64-bit hash ids) would overflow (_hi - _lo) in long
+    # math under ANSI mode; 38-digit decimals hold the full range exactly
     binned = (
         df.join(F.broadcast(bounds))
         .withColumn(
             "_bin",
             F.expr(
-                f"CAST(({order_col} - _lo) div "
-                f"((_hi - _lo) div {n_bins} + 1) AS INT)"
+                f"CAST((CAST({order_col} AS DECIMAL(38,0)) - CAST(_lo AS DECIMAL(38,0))) div "
+                f"((CAST(_hi AS DECIMAL(38,0)) - CAST(_lo AS DECIMAL(38,0))) div {n_bins} + 1) AS INT)"
             ),
         )
         .drop("_lo", "_hi")
@@ -1203,9 +1206,9 @@ _MM_AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("fmt", T.StringType(), True),
-        T.StructField("channels", T.IntegerType(), True),
-        T.StructField("sample_rate", T.IntegerType(), True),
-        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
     ]
 )
 
@@ -1264,9 +1267,11 @@ def q_multimodal_audio(spark, sf_dir):
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "fmt": pd.Series(fmts, dtype="object"),
-                    "channels": pd.Series(chs, dtype="Int32"),
-                    "sample_rate": pd.Series(rates_, dtype="Int32"),
-                    "n_frames": pd.Series(frs, dtype="Int32"),
+                    # Int64: hostile headers can carry full 32/64-bit
+                    # unsigned fields; Int32 coercion would KILL the task
+                    "channels": pd.Series(chs, dtype="Int64"),
+                    "sample_rate": pd.Series(rates_, dtype="Int64"),
+                    "n_frames": pd.Series(frs, dtype="Int64"),
                 }
             )
 
@@ -1277,9 +1282,9 @@ def q_multimodal_audio_sql():
     return (
         "SELECT doc_id, "
         "CASE WHEN doc_id % 5 = 0 THEN 'unknown' ELSE 'wav' END AS fmt, "
-        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 2 + 1 END::INTEGER AS channels, "
-        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 8000 * (doc_id % 4 + 1) END::INTEGER AS sample_rate, "
-        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 100 + 1 END::INTEGER AS n_frames "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 2 + 1 END::BIGINT AS channels, "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 8000 * (doc_id % 4 + 1) END::BIGINT AS sample_rate, "
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 100 + 1 END::BIGINT AS n_frames "
         "FROM documents"
     )
 
@@ -1288,8 +1293,8 @@ _MM_VIDEO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("fmt", T.StringType(), True),
-        T.StructField("timescale", T.IntegerType(), True),
-        T.StructField("duration", T.IntegerType(), True),
+        T.StructField("timescale", T.LongType(), True),
+        T.StructField("duration", T.LongType(), True),
     ]
 )
 
@@ -1342,8 +1347,9 @@ def q_multimodal_video(spark, sf_dir):
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "fmt": pd.Series(fmts, dtype="object"),
-                    "timescale": pd.Series(tss, dtype="Int32"),
-                    "duration": pd.Series(durs, dtype="Int32"),
+                    # Int64: mvhd v1 durations are 64-bit
+                    "timescale": pd.Series(tss, dtype="Int64"),
+                    "duration": pd.Series(durs, dtype="Int64"),
                 }
             )
 
@@ -1354,8 +1360,8 @@ def q_multimodal_video_sql():
     return (
         "SELECT doc_id, "
         "CASE WHEN doc_id % 4 = 0 THEN 'unknown' ELSE 'mp4' END AS fmt, "
-        "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 1000 * (doc_id % 3 + 1) END::INTEGER AS timescale, "
-        "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE doc_id % 5000 + 1 END::INTEGER AS duration "
+        "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 1000 * (doc_id % 3 + 1) END::BIGINT AS timescale, "
+        "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE doc_id % 5000 + 1 END::BIGINT AS duration "
         "FROM documents"
     )
 
