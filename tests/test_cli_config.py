@@ -115,6 +115,19 @@ def test_load_config(tmp_path):
     assert missing.indent == 2
 
 
+def test_load_config_reference_fixtures():
+    """Byte-identical mirrors of the reference fixtures
+    (test/data/config/config{1,2}), pinned to the same assertions as
+    internal/utils/config_test.go:12-24."""
+    import os
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures", "config")
+    cfg = load_config(os.path.join(fixdir, "config1"))
+    assert cfg.indent == 8 and cfg.no_color and cfg.no_pager
+    cfg = load_config(os.path.join(fixdir, "config2"))
+    assert cfg.indent == 2
+
+
 def test_readme_examples_parity():
     """The reference README's example invocations (README.md:25-104)."""
     H, X = HTML.replace("unformatted", "unformatted"), XML

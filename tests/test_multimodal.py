@@ -81,6 +81,38 @@ def test_dht_is_not_a_frame_header():
     assert parse_image_meta(blob) == ("jpeg", 3, 2)
 
 
+def test_tem_marker_is_standalone():
+    # TEM (0x01) carries no length word (T.81 B.1.1.3) — it must be
+    # stepped over, not parsed as a length-prefixed segment
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\x01"  # TEM: if misread as a segment, 0xffc0 becomes its "length"
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (4).to_bytes(2, "big") + (6).to_bytes(2, "big") + b"\x00" * 10
+    )
+    assert parse_image_meta(blob) == ("jpeg", 6, 4)
+
+
+def test_short_fmt_chunk_is_rejected():
+    # a fmt chunk DECLARING size < 16 must not read the next chunk's bytes
+    from xqspark.multimodal import parse_audio_meta
+
+    good = wav(2, 44100, 100)
+    short_fmt = (
+        good[:12]
+        + b"fmt " + (4).to_bytes(4, "little") + b"\x01\x00\x02\x00"  # truncated fmt
+        + good[12:]  # a full fmt + data follows — the walk must resync on it
+    )
+    assert parse_audio_meta(short_fmt) == ("wav", 2, 44100, 100)
+    # and with ONLY the short fmt present, the header is unusable -> None
+    only_short = (
+        good[:12]
+        + b"fmt " + (4).to_bytes(4, "little") + b"\x01\x00\x02\x00"
+        + b"data" + (8).to_bytes(4, "little") + b"\x00" * 8
+    )
+    assert parse_audio_meta(only_short) is None
+
+
 def test_pixel_decode_is_a_declared_stub():
     with pytest.raises(NotImplementedError):
         pixel_decode_stub(b"\x00")

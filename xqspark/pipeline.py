@@ -123,9 +123,14 @@ def with_host_salt(df: DataFrame, salts: int | None = None) -> DataFrame:
     (a fixed 16 caps a hot host at 16 partitions on 1000 executors).
     """
     if salts is None:
-        salts = 2 * int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        # the conf may be non-numeric on some platforms (e.g. "auto"
+        # under AQE-managed partitioning) — fall back to the cluster's
+        # default parallelism rather than crash
+        try:
+            base = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            base = df.sparkSession.sparkContext.defaultParallelism
+        salts = 2 * base
     # try_parse_url: under ANSI mode (Spark 4 default) parse_url ABORTS
     # the job on one malformed URL; a NULL host keeps the per-row
     # containment contract (the salt still spreads such rows)

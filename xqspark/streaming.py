@@ -113,7 +113,15 @@ def dedup_stream(
     long-running continuous jobs. Leave it 0 for availableNow/batch-drain
     runs: with a processing-time timeout, Spark keeps scheduling
     "no new data but cleaning up state" batches until the TTL fires,
-    so a drain-and-stop trigger never terminates."""
+    so a drain-and-stop trigger never terminates.
+
+    UPGRADE NOTE (round 2): the state schema changed from the unbounded
+    ``seen: array<binary>`` to the bounded ``(cur, prev, n_cur)`` Bloom
+    generations. Streaming checkpoints written by the old operator are
+    incompatible — discard the checkpoint directory (reprocess from the
+    source) when upgrading; resuming on old state will fail or misread.
+    Behavior also shifts from exact dedup to ~0.2%-false-positive dedup
+    (a never-seen URL can be dropped), the standard trade for O(1) state."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T

@@ -87,13 +87,16 @@ def make_xpath_values_udf(query: str):
     """extract_xpath: ArrayType(StringType) — one trimmed string-value per
     matched node (utils.go:253-260); a scalar result (count()/boolean()/
     string()) becomes a 1-element list printed with the same rules as the
-    -x output (utils.go:246-251). The query compiles once per worker."""
+    -x output (utils.go:246-251). The query compiles ONCE here, at factory
+    time, and ships to every worker inside the UDF closure (the analog of
+    the reference compiling before iterating, utils.go:239-244) — not once
+    per Arrow batch."""
     from xqspark.core.api import _go_percent_0f
+
+    expr = compile_xpath(query)
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def extract(html: pd.Series) -> pd.Series:
-        expr = compile_xpath(query)
-
         def one(payload):
             doc = parse_dom(payload, strict=False)
             val = expr.evaluate(doc)
@@ -124,14 +127,15 @@ def make_xpath_output_udf(query: str, single: bool = False, with_tags: bool = Fa
 
 
 def make_css_values_udf(selector: str, attr: str = ""):
-    """extract_css / extract_css_attr: ArrayType(StringType)."""
+    """extract_css / extract_css_attr: ArrayType(StringType). The selector
+    compiles ONCE at factory time and ships in the closure — not per batch."""
     from xqspark.core.css import compile_css
     from xqspark.core.htmltree import parse_html
 
+    sel = compile_css(selector)
+
     @pandas_udf(T.ArrayType(T.StringType()))
     def extract(html: pd.Series) -> pd.Series:
-        sel = compile_css(selector)
-
         def one(payload):
             doc = parse_html(payload)
             out = []
