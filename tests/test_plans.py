@@ -118,11 +118,43 @@ def test_pack_chunks_no_global_data_window(spark):
     assert "Reused" in plan
 
 
+def test_ivf_kmeans_assignment_is_map_side(spark):
+    """VERDICT r2 #1: the IVF assignment must be a pure projection (the
+    centroids ride as literals) — no Exchange, no Generate/explode row
+    blowup, no groupBy(vec_id) re-aggregation between the scan and the
+    bucket join. The only hash exchange in the whole query is the final
+    per-query top-k window."""
+    import re
+
+    for name in ("ann_ivf_kmeans", "ann_ivf_lloyd"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "Generate" not in plan, name          # no explode blowup
+        assert "HashAggregate" not in plan, name     # no argmax-by-shuffle
+        assert not re.search(r"Exchange hashpartitioning\(vec_id", plan), name
+        # exactly one data exchange: the rank window on query_id
+        assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1, name
+        assert "BroadcastHashJoin" in plan, name     # bucket search join
+        # argmax happens inside the projection over the scan
+        assert "array_position" in plan and "array_max" in plan, name
+
+
 def test_embedding_neardup_is_bucket_join_not_cross(spark):
     df = QUERIES["embedding_neardup"](spark, SF_DIR)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "label" in plan  # equi-join on the coarse-quantizer label
+
+
+def test_embedding_neardup_cap_adds_no_big_side_exchange(spark):
+    """VERDICT r2 #2: the label_cap count window must ride the self-join's
+    own hashpartitioning(label) — one exchange per join side, none extra
+    for the cap (mirrors the lsh_pairs band-cap plan assert)."""
+    import re
+
+    plan = plan_of(QUERIES["embedding_neardup"](spark, SF_DIR))
+    label_exchanges = re.findall(r"Exchange hashpartitioning\(label", plan)
+    assert len(label_exchanges) <= 2, plan[:2000]
+    assert "windowspecdefinition(label" in plan  # the cap's count window
 
 
 def test_lsh_band_count_reuses_join_partitioning(spark):

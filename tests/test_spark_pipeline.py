@@ -352,3 +352,54 @@ def test_query_compile_hoisted_to_factory(monkeypatch, spark):
     assert len(got) == 64 and all(r["t"] and r["l"] for r in got)
     # driver-side counters untouched by execution: still exactly one each
     assert calls == {"xpath": 1, "css": 1}
+
+
+def test_embedding_neardup_hot_label_cap(spark, tmp_path):
+    """A dominant coarse label (the skewed 'misc' cluster) is bounded:
+    drop mode removes it wholesale above label_cap; sub-bucket mode
+    shards it and keeps within-shard near-dup pairs — both twinned by
+    the parameterized DuckDB oracle."""
+    import duckdb
+
+    from xqspark.queries import embedding_neardup, embedding_neardup_sql
+
+    # label 0: 40 near-identical vectors (hot). label 1: one near-dup pair.
+    def vec(seed, eps):
+        return [1.0 + eps * seed, 2.0, 3.0 + eps, 4.0]
+
+    rows = [(i, vec(i, 1e-4), 0) for i in range(40)]
+    rows += [(100, [9.0, 1.0, 1.0, 1.0], 1), (101, [9.0, 1.0, 1.0, 1.001], 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    # drop mode: hot label 0 vanishes, the cold pair survives
+    dropped = []
+    got = embedding_neardup(
+        spark, str(tmp_path), label_cap=10, on_dropped=dropped.append
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in got) == [(100, 101)]
+    assert dropped == [1]
+
+    # without the cap the hot label goes quadratic
+    full = embedding_neardup(spark, str(tmp_path), label_cap=10**9)
+    assert full.count() == 40 * 39 // 2 + 1
+
+    # sub-bucket mode: hot label shards into 4; within-shard pairs survive
+    # and the DuckDB twin (same md5 shard rule) agrees exactly
+    got_sub = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in embedding_neardup(
+            spark, str(tmp_path), label_cap=10, n_sub=4
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS FROM "
+        # Spark writes a directory of part files
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(con.sql(embedding_neardup_sql(label_cap=10, n_sub=4)).fetchall())
+    assert got_sub == want
+    n_pairs = len(got_sub)
+    assert 1 < n_pairs < 40 * 39 // 2  # bounded, not dropped, not quadratic
