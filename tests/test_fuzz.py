@@ -256,3 +256,58 @@ def test_fused_dom_hypothesis(doc, strict):
     except XmlSyntaxError as e:
         got, gerr = None, str(e)
     assert (want, werr) == (got, gerr)
+
+
+def test_fused_html_tree_differential():
+    """The fused tokenizer+tree fast path must produce structurally
+    identical trees to the general tokenizer + WHATWG builder on a
+    randomized soup that straddles every bail boundary (formatting
+    misnesting, tables, selects, raw text, head routing, comments)."""
+    import random
+
+    from xqspark.core import htmltree as ht
+
+    def tree_sig(n):
+        return (n.type, n.data,
+                tuple((a.local, a.value) for a in n.attrs),
+                n.order,
+                tuple(tree_sig(c) for c in n.children))
+
+    def general(text):
+        b = ht.HtmlTreeBuilder()
+        return b.feed(ht.HtmlTokenizer(text).tokens())
+
+    random.seed(4242)
+    frag = [
+        '<div>', '</div>', '<p>', '</p>', '<p class="x">', 'text', ' ',
+        '\n  ', '<b>', '</b>', '<i>', '</i>', '<a href="u">', '</a>',
+        '<span id="s">', '</span>', '<br>', '<hr/>', '<li>', '</li>',
+        '<ul>', '</ul>', '<h1>', '</h1>', '<h2>', '<img src="i.png">',
+        '<!doctype html>', '<html lang="en">', '<head>', '</head>',
+        '<body class="b">', '</body>', '</html>', '<title>T</title>',
+        '<meta charset="u">', '<link rel="x">', '<style>.c{}</style>',
+        '<script>var a=1;</script>', '<script><!-- x --></script>',
+        '<textarea>\nv</textarea>', '<pre>\nk</pre>', '<!--c-->',
+        '<!-- a-b -->', '<table>', '</table>', '<td>', '<tr>',
+        '<select>', '<option>o', '</select>', '<form>', '</form>',
+        '<dd>', '<dt>', '<nobr>', '<b><i>x</b>y</i>', '&amp;', '&bad',
+        '&lt;tag&gt;', '<div a=\'sq\'>', '<input disabled>',
+        '<DIV CLASS="UP">', '</DIV>', '<noscript><link></noscript>',
+        '<iframe>raw</iframe>', '<?pi?>', '<!bogus>', '</>', '<',
+        'x < y', '<em>', '</em>', '<button>', '<svg>', '</svg>',
+        '<div  a="1"\tb="2">', '<p>one<p>two', '<td a="v">', '\r\n',
+        '<h3>', '</h3>', '</li>', '</ul>', '</p>', '</b>', '</a>',
+    ]
+    n_fast = n_fallback = 0
+    for _ in range(2500):
+        doc = "".join(random.choice(frag) for _ in range(random.randint(1, 12)))
+        want = tree_sig(general(doc))
+        try:
+            got = tree_sig(ht._parse_html_fast(doc))
+            n_fast += 1
+        except ht._TreeFallback:
+            got = tree_sig(ht.parse_html(doc))
+            n_fallback += 1
+        assert want == got, repr(doc)
+    # the soup must actually exercise BOTH paths
+    assert n_fast > 200 and n_fallback > 200, (n_fast, n_fallback)

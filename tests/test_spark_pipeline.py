@@ -403,3 +403,42 @@ def test_embedding_neardup_hot_label_cap(spark, tmp_path):
     assert got_sub == want
     n_pairs = len(got_sub)
     assert 1 < n_pairs < 40 * 39 // 2  # bounded, not dropped, not quadratic
+
+
+def test_lsh_realistic_params_cap_engaged(spark, tmp_path):
+    """16 bands x 4 rows (64 hashes) — the shape real near-dup dedup
+    uses — with the band cap ENGAGED: every band of the hot boilerplate
+    cluster drops, the true near-dup pair survives, and the DuckDB twin
+    (same 64-hash family, same cap) agrees exactly."""
+    import duckdb
+
+    from xqspark.queries import lsh_pairs, q_lsh_pairs_sql
+
+    boiler = "the same boilerplate text repeated on every page"
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100, "unique alpha beta gamma delta epsilon"),
+             (101, "unique alpha beta gamma delta epsilon")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    dropped = []
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in lsh_pairs(
+            spark, str(tmp_path), n_bands=16, n_rows=4, band_cap=10,
+            on_dropped=dropped.append,
+        ).collect()
+    )
+    assert got == [(100, 101)]
+    assert dropped == [16]  # every band of the 30-member hot cluster
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        con.sql(q_lsh_pairs_sql(n_bands=16, n_rows=4, band_cap=10)).fetchall()
+    )
+    assert got == want

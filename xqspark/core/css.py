@@ -347,11 +347,53 @@ class CssSelector:
         self.group = _compile_group(selector)
 
     def select(self, root: DomNode) -> list[DomNode]:
-        out = []
+        out: list[DomNode] = []
+        group = self.group
+        # hoisted hot shapes (single compound; two compounds joined by
+        # '>' or ' '): no per-node backtrack closure, explicit walk
+        # instead of the iter_descendants generator
+        if len(group) == 1:
+            cpx = group[0]
+            if len(cpx) == 1:
+                m = cpx[0][1].matches
+                stack = list(reversed(root.children))
+                pop = stack.pop
+                extend = stack.extend
+                while stack:
+                    node = pop()
+                    if node.children:
+                        extend(reversed(node.children))
+                    if node.type == ELEMENT and m(node):
+                        out.append(node)
+                return out
+            if len(cpx) == 2 and cpx[1][0] in (">", " "):
+                left = cpx[0][1].matches
+                right = cpx[1][1].matches
+                child_only = cpx[1][0] == ">"
+                stack = list(reversed(root.children))
+                pop = stack.pop
+                extend = stack.extend
+                while stack:
+                    node = pop()
+                    if node.children:
+                        extend(reversed(node.children))
+                    if node.type != ELEMENT or not right(node):
+                        continue
+                    p = node.parent
+                    if child_only:
+                        if p is not None and p.type == ELEMENT and left(p):
+                            out.append(node)
+                    else:
+                        while p is not None:
+                            if p.type == ELEMENT and left(p):
+                                out.append(node)
+                                break
+                            p = p.parent
+                return out
         for node in root.iter_descendants():
             if node.type != ELEMENT:
                 continue
-            if any(_complex_matches(cpx, node) for cpx in self.group):
+            if any(_complex_matches(cpx, node) for cpx in group):
                 out.append(node)
         return out
 

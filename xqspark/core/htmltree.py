@@ -23,7 +23,9 @@ Reuses DomNode so the CSS engine and serializers share one node type.
 from __future__ import annotations
 
 from .dom import COMMENT, DOCUMENT, ELEMENT, TEXT, DomAttr, DomNode
+from .entities import unescape
 from .htmltok import (
+    _H_FAST_END,
     RAW_TEXT_TAGS,
     HComment,
     HDoctype,
@@ -849,10 +851,507 @@ class HtmlTreeBuilder:
 
 
 def parse_html(data: bytes | str) -> DomNode:
+    """Build the WHATWG tree for a document.
+
+    A fused tokenizer+tree fast path handles the common well-nested
+    subset (double/single-quoted or bare attributes, no tables/selects/
+    forms, formatting elements closed in order, no adoption-agency or
+    foster-parenting triggers) in one regex-driven pass with no token
+    objects; anything outside that subset raises _TreeFallback and the
+    document re-parses on the general Go-faithful token + WHATWG builder
+    path, so trees are identical either way (differential-fuzzed in
+    test_fuzz.py)."""
     if isinstance(data, bytes):
         data = data.decode("utf-8", errors="surrogateescape")
-    builder = HtmlTreeBuilder()
-    return builder.feed(HtmlTokenizer(data).tokens())
+    try:
+        return _parse_html_fast(data)
+    except _TreeFallback:
+        builder = HtmlTreeBuilder()
+        return builder.feed(HtmlTokenizer(data).tokens())
+
+
+class _TreeFallback(Exception):
+    """Input uses a construct outside the fused tree fast path."""
+
+
+# --- fused tokenizer + tree builder fast path -------------------------------
+#
+# Invariants that make the shortcut tree equal the WHATWG tree:
+# * no table/select/form/button/template/applet/marquee/object/nobr/
+#   image/plaintext/frameset anywhere (their insertion modes bail);
+# * formatting elements close ONLY via their own matching end tag while
+#   on top of the stack — any implied pop of a formatting element would
+#   trigger reconstruction/adoption in the general builder, so it bails;
+# under those two, the active-formatting list always mirrors the open
+# formatting elements, reconstruction is a no-op, the adoption agency
+# reduces to a plain pop, and foster parenting never fires.
+
+_F_STRUCT = 1      # html/head/body
+_F_BAIL = 2
+_F_HEAD_ONLY = 4
+_F_VOID = 8        # VOID_TAGS + basefont/bgsound: inserted, never pushed
+_F_CLOSES_P = 16
+_F_FMT = 32
+_F_SIB = 64        # li/dd/dt sibling close
+_F_RAW = 128       # raw-text/RCDATA content swallow
+_F_HEADING = 256
+
+_FAST_BAIL_TAGS = frozenset(
+    (
+        "table", "caption", "col", "colgroup", "tbody", "td", "tfoot",
+        "th", "thead", "tr", "select", "option", "optgroup", "form",
+        "button", "applet", "marquee", "object", "template", "nobr",
+        "image", "plaintext", "frameset", "frame",
+    )
+)
+
+
+def _build_fast_flags() -> dict:
+    flags: dict[str, int] = {}
+
+    def add(tags, f):
+        for t in tags:
+            flags[t] = flags.get(t, 0) | f
+
+    add(("html", "head", "body"), _F_STRUCT)
+    add(_FAST_BAIL_TAGS, _F_BAIL)
+    add(_HEAD_ONLY, _F_HEAD_ONLY)
+    add(VOID_TAGS, _F_VOID)
+    add(_IMMEDIATE_POP, _F_VOID)
+    add(_CLOSES_P, _F_CLOSES_P)
+    add(_FORMATTING, _F_FMT)
+    add(("li", "dd", "dt"), _F_SIB)
+    add(RAW_TEXT_TAGS - {"plaintext"}, _F_RAW)
+    add(_HEADINGS, _F_HEADING)
+    return flags
+
+
+_FAST_FLAGS = _build_fast_flags()
+_LI_STOPS = _LIST_SCOPE_STOP - {"li"}
+_DD_STOPS = _LIST_SCOPE_STOP - {"dd", "dt"}
+
+import re as _re2
+
+# start tags: double-quoted, single-quoted, or valueless attributes with
+# no entities/CR/< in values (anything else re-parses on the general path)
+_HT_TAG = _re2.compile(
+    r"<([A-Za-z][A-Za-z0-9-]*)"
+    r"((?:[ \t\n\f]+[A-Za-z0-9_:.\-]+"
+    r"(?:=\"[^\"&<\r]*\"|='[^'&<\r]*')?)*)"
+    r"[ \t\n\f]*(/?)>"
+)
+_HT_ATTR = _re2.compile(r"([A-Za-z0-9_:.\-]+)(?:=\"([^\"]*)\"|='([^']*)')?")
+_HT_WS = " \t\n\f\r"
+
+
+def _find_ci(s: str, needle: str, start: int) -> int:
+    n = len(s)
+    first = needle[0]
+    ln = len(needle)
+    i = start
+    while True:
+        i = s.find(first, i)
+        if i == -1 or i + ln > n:
+            return -1
+        if s[i : i + ln].lower() == needle:
+            return i
+        i += 1
+
+
+def _new_node(t: str, d: str, o: int) -> DomNode:
+    """Inline-slot DomNode construction for the fused hot loop (skips the
+    __init__ call; semantics identical — all slots set)."""
+    node = DomNode.__new__(DomNode)
+    node.type = t
+    node.data = d
+    node.prefix = ""
+    node.namespace = ""
+    node.attrs = []
+    node.parent = None
+    node.children = []
+    node.order = o
+    node.cdata = False
+    node.pi_inst = ""
+    return node
+
+
+def _parse_html_fast(s: str) -> DomNode:
+    doc = DomNode(DOCUMENT)
+    html: DomNode | None = None
+    head: DomNode | None = None
+    body: DomNode | None = None
+    stack: list[DomNode] = []  # mutated in place (closures cache it)
+    order = 0  # creation order == document order (tail appends only) ...
+    dirty = False  # ... except head re-entry; then re-walk at the end
+    pos = 0
+    n = len(s)
+    tag_match = _HT_TAG.match
+    end_match = _H_FAST_END.match
+    attr_findall = _HT_ATTR.findall
+    flags_get = _FAST_FLAGS.get
+    new_node = _new_node
+
+    def append_text(parent: DomNode, t: str) -> None:
+        nonlocal order
+        ch = parent.children
+        if ch and ch[-1].type == TEXT:
+            ch[-1].data += t
+        else:
+            node = new_node(TEXT, t, order)
+            order += 1
+            node.parent = parent
+            ch.append(node)
+
+    def ensure_html() -> None:
+        nonlocal html, order
+        if html is None:
+            html = DomNode(ELEMENT, "html")
+            html.order = order
+            order += 1
+            doc.append(html)
+            stack[:] = (html,)
+
+    def open_body() -> None:
+        nonlocal head, body, order
+        ensure_html()
+        if head is None:
+            head = DomNode(ELEMENT, "head")
+            head.order = order
+            order += 1
+            html.append(head)
+        if body is None:
+            # implied </head>: pop everything above html. A formatting
+            # element cannot be open here (non-head-only start tags open
+            # the body first), so no reconstruction concern.
+            body = DomNode(ELEMENT, "body")
+            body.order = order
+            order += 1
+            html.append(body)
+            stack[:] = (html, body)
+
+    def check_popped(popped) -> None:
+        # an implied pop of a formatting element would reconstruct later
+        for node in popped:
+            if node.data in _FORMATTING:
+                raise _TreeFallback
+
+    while pos < n:
+        # -- text up to the next markup-starting '<' (same scan rule as
+        # HtmlTokenizer: '<' + letter, '/', '!' or '?') --
+        start = pos
+        lt = pos
+        while True:
+            lt = s.find("<", lt)
+            if lt == -1 or lt + 1 >= n:
+                lt = -1
+                break
+            c = s[lt + 1]
+            if (c.isascii() and c.isalpha()) or c in "/!?":
+                break
+            lt += 1
+        if lt != start:
+            t = s[start:n] if lt == -1 else s[start:lt]
+            pos = n if lt == -1 else lt
+            if "\x00" in t:
+                raise _TreeFallback
+            if "\r" in t:
+                t = t.replace("\r\n", "\n").replace("\r", "\n")
+            if "&" in t:
+                t = unescape(t)
+                if "\x00" in t:
+                    raise _TreeFallback
+            if body is None:
+                cur = stack[-1] if stack else doc
+                if cur is not html and cur is not doc and cur is not head:
+                    append_text(cur, t)  # inside an open head element
+                    continue
+                ws = len(t) - len(t.lstrip(" \t\n\f\r"))
+                if ws:
+                    if cur is head:
+                        append_text(head, t[:ws])
+                    elif cur is html and head is not None:
+                        append_text(html, t[:ws])
+                    t = t[ws:]
+                if not t:
+                    continue
+                open_body()
+            cur = stack[-1]
+            ch = cur.children
+            if ch:
+                last = ch[-1]
+                if last.type == TEXT:
+                    last.data += t
+                    continue
+            elif t[0] == "\n" and cur.data in ("pre", "listing", "textarea"):
+                t = t[1:]
+                if not t:
+                    continue
+            node = new_node(TEXT, t, order)
+            order += 1
+            node.parent = cur
+            ch.append(node)
+            continue
+        if lt == -1:
+            break
+        c = s[pos + 1]
+        # -- start tag --
+        if c.isascii() and c.isalpha():
+            m = tag_match(s, pos)
+            if m is None:
+                raise _TreeFallback
+            pos = m.end()
+            name, attrs_raw, _selfclose = m.group(1, 2, 3)
+            name = name.lower()
+            flags = flags_get(name, 0)
+            if flags & (_F_BAIL | _F_STRUCT):
+                if flags & _F_BAIL:
+                    raise _TreeFallback
+                # html/head/body: create-or-merge
+                if name == "html":
+                    ensure_html()
+                    node = html
+                elif name == "head":
+                    ensure_html()
+                    if head is None:
+                        head = DomNode(ELEMENT, "head")
+                        head.order = order
+                        order += 1
+                        html.append(head)
+                        if body is None:
+                            stack.append(head)
+                    elif body is None and not (
+                        len(stack) > 1 and stack[1] is head
+                    ):
+                        stack.append(head)
+                        dirty = True
+                    node = head
+                else:
+                    open_body()
+                    node = body
+                if attrs_raw:
+                    existing = {a.local for a in node.attrs}
+                    for k, v2, v3 in attr_findall(attrs_raw):
+                        k = k.lower()
+                        if k not in existing:
+                            node.attrs.append(
+                                DomAttr("", k, v2 if v2 else v3)
+                            )
+                            existing.add(k)
+                continue
+            element = new_node(ELEMENT, name, 0)  # order set at insertion
+            if attrs_raw:
+                attrs = element.attrs
+                for k, v2, v3 in attr_findall(attrs_raw):
+                    attrs.append(DomAttr("", k.lower(), v2 if v2 else v3))
+            push = not flags & _F_VOID
+            if flags & _F_HEAD_ONLY and body is None:
+                ensure_html()
+                if head is None:
+                    head = DomNode(ELEMENT, "head")
+                    head.order = order
+                    order += 1
+                    html.append(head)
+                    stack.append(head)
+                elif not (len(stack) > 1 and stack[1] is head):
+                    stack.append(head)
+                    dirty = True
+                cur = stack[-1]
+                parent = cur if cur is not html and cur is not doc else head
+                element.order = order
+                order += 1
+                parent.append(element)
+                if push:
+                    stack.append(element)
+            else:
+                if body is None:
+                    open_body()
+                if flags & _F_FMT:
+                    same = 0
+                    for node in stack:
+                        if node.data == name:
+                            same += 1
+                    if (name == "a" and same) or same >= 2:
+                        # <a>-in-afe adoption / Noah's Ark could engage
+                        raise _TreeFallback
+                else:
+                    if flags & _F_CLOSES_P:
+                        for i in range(len(stack) - 1, -1, -1):
+                            tag = stack[i].data
+                            if tag == "p":
+                                check_popped(stack[i:])
+                                del stack[i:]
+                                break
+                            if tag in _BUTTON_SCOPE_STOPS:
+                                break
+                    if flags & _F_SIB:
+                        closers = ("li",) if name == "li" else ("dd", "dt")
+                        stops = _LI_STOPS if name == "li" else _DD_STOPS
+                        for i in range(len(stack) - 1, -1, -1):
+                            tag = stack[i].data
+                            if tag in closers:
+                                check_popped(stack[i:])
+                                del stack[i:]
+                                break
+                            if tag in stops:
+                                break
+                    if (
+                        flags & _F_HEADING
+                        and stack
+                        and stack[-1].data in _HEADINGS
+                    ):
+                        stack.pop()
+                cur = stack[-1]
+                element.order = order
+                order += 1
+                element.parent = cur
+                cur.children.append(element)
+                if push:
+                    stack.append(element)
+            if flags & _F_RAW:
+                # swallow raw/RCDATA content to the matching close tag
+                if name == "script":
+                    close = _find_ci(s, "</script", pos)
+                    while close != -1:
+                        after = close + 8
+                        if after < n and (s[after] in _HT_WS or s[after] in "/>"):
+                            break
+                        close = _find_ci(s, "</script", close + 1)
+                    span_end = n if close == -1 else close
+                    if "<!--" in s[pos:span_end]:
+                        raise _TreeFallback  # escape states: general path
+                else:
+                    needle = "</" + name
+                    ln = len(needle)
+                    close = _find_ci(s, needle, pos)
+                    while close != -1:
+                        after = close + ln
+                        if after < n and (s[after] in _HT_WS or s[after] in "/>"):
+                            break
+                        close = _find_ci(s, needle, close + 1)
+                content = s[pos:n] if close == -1 else s[pos:close]
+                pos = n if close == -1 else close
+                if content:
+                    if "\r" in content:
+                        content = content.replace("\r\n", "\n").replace("\r", "\n")
+                    if "\x00" in content:
+                        content = content.replace("\x00", "�")
+                    if name in ("textarea", "title"):
+                        content = unescape(content)
+                    if (
+                        name == "textarea"
+                        and not element.children
+                        and content.startswith("\n")
+                    ):
+                        content = content[1:]
+                    if content:
+                        append_text(element, content)
+                if close != -1:
+                    m2 = end_match(s, pos)
+                    if m2 is None or m2.group(1).lower() != name:
+                        raise _TreeFallback
+                    pos = m2.end()
+                    # any-other-end-tag: the element is on top -> pop
+                    if stack and stack[-1] is element:
+                        stack.pop()
+            continue
+        # -- end tag --
+        if c == "/":
+            m = end_match(s, pos)
+            if m is None:
+                if s.startswith("</>", pos):
+                    pos += 3  # "</>" produces no token
+                    continue
+                raise _TreeFallback
+            pos = m.end()
+            name = m.group(1).lower()
+            flags = flags_get(name, 0)
+            if flags & (_F_BAIL | _F_STRUCT):
+                if flags & _F_BAIL:
+                    raise _TreeFallback
+                if name == "head":
+                    if head is not None and len(stack) > 1 and stack[1] is head:
+                        check_popped(stack[1:])
+                        del stack[1:]
+                    continue
+                # body/html
+                if body is not None:
+                    check_popped(stack[2:])
+                    del stack[2:]
+                continue
+            if name == "br":
+                raise _TreeFallback  # </br> synthesizes a <br>
+            if name == "p":
+                for i in range(len(stack) - 1, -1, -1):
+                    node = stack[i]
+                    if node.data == "p":
+                        check_popped(stack[i:])
+                        del stack[i:]
+                        break
+                    if node.data in _BUTTON_SCOPE_STOPS:
+                        break
+                else:
+                    node = None
+                if node is None or node.data != "p":
+                    # no p in button scope: synthesize an empty <p>
+                    open_body()
+                    p = DomNode(ELEMENT, "p")
+                    p.order = order
+                    order += 1
+                    stack[-1].append(p)
+                continue
+            if flags & _F_FMT:
+                if stack and stack[-1].data == name:
+                    stack.pop()  # adoption agency simple case
+                    continue
+                raise _TreeFallback
+            # any other end tag
+            for i in range(len(stack) - 1, -1, -1):
+                node = stack[i]
+                if node is html or node is body or node is head:
+                    break
+                if node.data == name:
+                    check_popped(stack[i + 1 :])
+                    del stack[i:]
+                    break
+                if node.data in _SPECIAL:
+                    break
+            continue
+        # -- markup declaration / comment / doctype --
+        if c == "!":
+            if s.startswith("<!--", pos):
+                i = pos + 4
+                if s.startswith(">", i) or s.startswith("->", i):
+                    raise _TreeFallback  # abrupt comment close
+                end = s.find("-->", i)
+                if end == -1:
+                    raise _TreeFallback
+                data = s[i:end]
+                if "--" in data or data.endswith("-"):
+                    raise _TreeFallback  # tricky terminators: general path
+                pos = end + 3
+                if "\r" in data:
+                    data = data.replace("\r\n", "\n").replace("\r", "\n")
+                if "\x00" in data:
+                    data = data.replace("\x00", "�")
+                node = DomNode(COMMENT, data)
+                node.order = order
+                order += 1
+                (stack[-1] if stack else doc).append(node)
+                continue
+            if s[pos + 2 : pos + 9].lower() == "doctype":
+                end = s.find(">", pos + 9)
+                pos = n if end == -1 else end + 1
+                continue  # quirks only gates <table>-closes-p; table bails
+            raise _TreeFallback  # bogus comment
+        # c == "?": bogus comment
+        raise _TreeFallback
+
+    idx = 0
+    if dirty:
+        for node in doc.iter_descendants():
+            node.order = idx
+            idx += 1
+    return doc
 
 
 # x/net/html Render writes raw child text ONLY for these (textarea and
