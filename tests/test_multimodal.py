@@ -186,3 +186,75 @@ def test_mp4_containment():
                  b"\x00\x00\x00\x10ftypisom" + b"\x00" * 4,  # no moov
                  b"\x00\x00\x00\x00ftyp" + b"\x00" * 20]:    # size 0 bail
         parse_video_meta(blob)  # must not raise
+
+
+def pdf(text="hello world", flate=False, n_extra_pages=0):
+    import zlib
+
+    content = f"BT /F1 12 Tf ({text}) Tj ET".encode("latin-1")
+    filt = b""
+    if flate:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    pages = b"".join(
+        b"%d 0 obj << /Type /Page /Parent 2 0 R >> endobj\n" % (10 + i)
+        for i in range(n_extra_pages)
+    )
+    return (
+        b"%PDF-1.7\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        + pages
+        + b"4 0 obj << " + filt + b"/Length %d >> stream\n" % len(content)
+        + content
+        + b"\nendstream endobj\n%%EOF"
+    )
+
+
+def test_pdf_meta():
+    from xqspark.multimodal import parse_pdf_meta
+
+    assert parse_pdf_meta(pdf()) == ("pdf", "1.7", 1)
+    assert parse_pdf_meta(pdf(n_extra_pages=3)) == ("pdf", "1.7", 4)
+    # /Type /Pages (the tree node) must NOT count as a page
+    assert parse_pdf_meta(b"%PDF-1.4\n<< /Type /Pages >>") == ("pdf", "1.4", 0)
+    assert parse_pdf_meta(b"not a pdf") is None
+    assert parse_pdf_meta(None) is None
+
+
+def test_pdf_text_plain_and_flate():
+    from xqspark.multimodal import extract_pdf_text
+
+    assert extract_pdf_text(pdf("alpha beta")) == "alpha beta"
+    assert extract_pdf_text(pdf("deflated text", flate=True)) == "deflated text"
+
+
+def test_pdf_string_escapes_and_tj_array():
+    from xqspark.multimodal import extract_pdf_text
+
+    # escaped parens/backslash, octal, and a TJ array with kerning numbers
+    content = (
+        rb"BT (paren \( close \) back\\slash \101) Tj "
+        rb"[(ker) -120 (ned)] TJ (quote ') ' ET"
+    )
+    blob = (
+        b"%PDF-1.4\n3 0 obj << /Type /Page >> endobj\n"
+        + b"4 0 obj << /Length %d >> stream\n" % len(content)
+        + content + b"\nendstream\n%%EOF"
+    )
+    got = extract_pdf_text(blob)
+    assert got == "paren ( close ) back\\slash A ker ned quote '"
+
+
+def test_pdf_containment():
+    from xqspark.multimodal import extract_pdf_text, parse_pdf_meta
+
+    cases = [
+        None, b"", b"%PDF-", b"%PDF-1.4", pdf()[:40],           # truncated
+        pdf()[: len(pdf()) - 20],                               # no endstream
+        b"%PDF-1.4\nstream\n\xff\xfebroken",                     # garbage stream
+        b"%PDF-1.4\n<< /Filter /FlateDecode >> stream\nnotzlib\nendstream",
+    ]
+    for blob in cases:
+        parse_pdf_meta(blob)
+        assert isinstance(extract_pdf_text(blob), str)  # never raises

@@ -146,6 +146,113 @@ def _mvhd(data: bytes, pos: int, end: int) -> tuple[str, int, int] | None:
     return None
 
 
+# --- PDF (north rule: "PDF/layout parse") -----------------------------------
+#
+# Scan-based, recovery-oriented PDF reading (public spec: ISO 32000-1).
+# Crawl PDFs are routinely truncated or have broken xref tables, so the
+# extractor deliberately does NOT trust the cross-reference machinery: it
+# scans for page objects and content streams directly, decompressing
+# FlateDecode streams with stdlib zlib and decoding the text-showing
+# operators (Tj / TJ / ') with PDF string-escape semantics. Malformed
+# input degrades to partial or empty output, never an exception.
+
+import re as _re
+import zlib as _zlib
+
+_PDF_PAGE_RE = _re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+# (string) Tj|'  and  [ ... ] TJ show operators
+_PDF_STR = rb"\((?:[^()\\]|\\.)*\)"
+_PDF_SHOW_RE = _re.compile(
+    rb"(?:(" + _PDF_STR + rb")\s*(?:Tj|'))|(?:\[((?:[^\[\]\\]|\\.)*)\]\s*TJ)"
+)
+_PDF_INNER_STR = _re.compile(_PDF_STR)
+_PDF_ESC = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08", b"f": b"\x0c",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    """Decode a parenthesized PDF string body per ISO 32000-1 7.3.4.2."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        e = raw[i : i + 1]
+        if e in _PDF_ESC:
+            out += _PDF_ESC[e]
+            i += 1
+        elif e.isdigit():  # up to 3 octal digits
+            j = i
+            while j < min(i + 3, n) and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i:j], 8) & 0xFF)
+            i = j
+        elif e == b"\n":
+            i += 1  # line continuation
+        else:
+            out += e
+            i += 1
+    return out.decode("latin-1")
+
+
+def parse_pdf_meta(data: bytes | None) -> tuple[str, str, int] | None:
+    """(format, version, n_pages) from a PDF payload; None when the
+    payload is not a PDF. Page count = /Type /Page object scan (xref-free
+    on purpose — see module comment)."""
+    if not data or not data.startswith(b"%PDF-"):
+        return None
+    version = data[5:8].decode("ascii", errors="replace")
+    return ("pdf", version, len(_PDF_PAGE_RE.findall(data)))
+
+
+def extract_pdf_text(data: bytes | None) -> str:
+    """Concatenated text-show strings from every content stream
+    (uncompressed or FlateDecode), in document byte order, joined with
+    single spaces. Undecodable streams are skipped, never raised."""
+    if not data or not data.startswith(b"%PDF-"):
+        return ""
+    parts: list[str] = []
+    pos = 0
+    n = len(data)
+    while True:
+        i = data.find(b"stream", pos)
+        if i == -1:
+            break
+        body_start = i + 6
+        if data[body_start : body_start + 2] == b"\r\n":
+            body_start += 2
+        elif data[body_start : body_start + 1] in (b"\n", b"\r"):
+            body_start += 1
+        end = data.find(b"endstream", body_start)
+        if end == -1:
+            end = n
+        body = data[body_start:end]
+        pos = end + 9
+        # the stream's dict immediately precedes `stream`
+        head = data[max(0, i - 512) : i]
+        if b"/FlateDecode" in head:
+            try:
+                body = _zlib.decompress(body)
+            except Exception:
+                continue
+        for m in _PDF_SHOW_RE.finditer(body):
+            if m.group(1) is not None:
+                parts.append(_pdf_unescape(m.group(1)[1:-1]))
+            else:
+                for sm in _PDF_INNER_STR.finditer(m.group(2)):
+                    parts.append(_pdf_unescape(sm.group(0)[1:-1]))
+    return " ".join(p for p in parts if p)
+
+
 def pixel_decode_stub(data: bytes) -> None:
     """Pixel-level decode needs an image library this container doesn't
     ship; the metadata path above never calls this."""

@@ -331,6 +331,111 @@ def q_charset_transcode_sql():
     )
 
 
+def q_multimodal_pdf(spark, sf_dir):
+    """PDF parse (north rule: "PDF/layout parse"): minimal-but-real PDF
+    containers are synthesized JVM-side (header, catalog/pages/page
+    objects, an uncompressed content stream whose Tj operator carries the
+    row's text), then decoded back by the scan-based, xref-free reader in
+    xqspark/multimodal.py — version, /Type /Page count, and the shown
+    text. Every third row is a non-PDF payload the decoder must contain
+    (fmt='unknown') rather than crash on. FlateDecode streams and PDF
+    string escapes are pinned in tests/test_multimodal.py."""
+    from xqspark.multimodal import extract_pdf_text, parse_pdf_meta
+
+    pdf = F.concat(
+        F.lit(
+            "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            "4 0 obj << /Length 0 >> stream\nBT /F1 12 Tf ("
+        ),
+        F.trim(F.col("text")),
+        F.lit(") Tj ET\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF"),
+    ).cast("binary")
+    blob = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 2, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(pdf)
+    df = _docs(spark, sf_dir).select("doc_id", blob.alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fmts, vers, pages, texts = [], [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                ids.append(doc_id)
+                data = bytes(payload) if payload is not None else b""
+                meta = parse_pdf_meta(data)
+                if meta is None:
+                    fmts.append("unknown")
+                    vers.append(None)
+                    pages.append(None)
+                    texts.append("")
+                else:
+                    fmts.append(meta[0])
+                    vers.append(meta[1])
+                    pages.append(meta[2])
+                    texts.append(extract_pdf_text(data))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    "pdf_version": pd.Series(vers, dtype="object"),
+                    "n_pages": pd.Series(pages, dtype="Int32"),
+                    "pdf_text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(
+        decode,
+        "doc_id long, fmt string, pdf_version string, n_pages int, pdf_text string",
+    )
+
+
+def q_multimodal_pdf_sql():
+    return (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'pdf' END AS fmt, "
+        "CASE WHEN doc_id % 3 = 2 THEN NULL ELSE '1.4' END AS pdf_version, "
+        "CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 1 END AS n_pages, "
+        "CASE WHEN doc_id % 3 = 2 THEN '' ELSE trim(text) END AS pdf_text "
+        "FROM documents"
+    )
+
+
+def q_main_content(spark, sf_dir):
+    """Boilerplate strip via DOM text-density heuristics (north rule:
+    "HTML boilerplate strip ... DOM heuristics"): pages are CONSTRUCTED
+    JVM-side with a link-dense nav, a plain-text main block, and a
+    link-dense footer; the extractor must parse the tree (fused fast
+    path), score candidates by text density minus link density, and
+    return exactly the main block's normalized text. The oracle states
+    the expected text directly. See xqspark/core/maincontent.py."""
+    from xqspark.udfs import make_main_content_udf
+
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title></head><body>'
+            '<div class="nav"><a href="/">Home</a> <a href="/a">About</a>'
+            ' <a href="/c">Contact</a></div><div class="main"><p>'
+        ),
+        F.trim(F.col("text")),
+        F.lit(
+            '</p></div><div class="footer"><a href="/p">Privacy</a>'
+            ' <a href="/t">Terms</a> copyright</div></body></html>'
+        ),
+    )
+    udf = make_main_content_udf()
+    return _docs(spark, sf_dir).select(
+        "doc_id", udf(html.cast("binary")).alias("main_text")
+    )
+
+
+def q_main_content_sql():
+    return (
+        "SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') "
+        "AS main_text FROM documents"
+    )
+
+
 def q_detect_format(spark, sf_dir):
     from xqspark.udfs import content_type_col
 
@@ -1753,6 +1858,7 @@ QUERIES = {
     "detect_format": q_detect_format,
     "charset_decl": q_charset_decl,
     "charset_transcode": q_charset_transcode,
+    "main_content": q_main_content,
     "host_topk": q_host_topk,
     "dedup_groups": q_dedup_groups,
     "latest_event_per_user": q_latest_event_per_user,
@@ -1775,6 +1881,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_video": q_multimodal_video,
+    "multimodal_pdf": q_multimodal_pdf,
     "beautify_auto": q_beautify_auto,
     "css_misnested": q_css_misnested,
     "error_containment": q_error_containment,
@@ -1800,6 +1907,7 @@ ORACLES = {
     "detect_format": q_detect_format_sql(),
     "charset_decl": q_charset_decl_sql(),
     "charset_transcode": q_charset_transcode_sql(),
+    "main_content": q_main_content_sql(),
     "host_topk": q_host_topk_sql(),
     "dedup_groups": q_dedup_groups_sql(),
     "latest_event_per_user": q_latest_event_per_user_sql(),
@@ -1822,6 +1930,7 @@ ORACLES = {
     "multimodal_meta": q_multimodal_meta_sql(),
     "multimodal_audio": q_multimodal_audio_sql(),
     "multimodal_video": q_multimodal_video_sql(),
+    "multimodal_pdf": q_multimodal_pdf_sql(),
     "beautify_auto": q_beautify_auto_sql(),
     "css_misnested": q_css_misnested_sql(),
     "error_containment": q_error_containment_sql(),

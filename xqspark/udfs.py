@@ -167,6 +167,18 @@ def make_css_output_udf(selector: str, attr: str = "", with_tags: bool = False,
     return extract
 
 
+def make_main_content_udf():
+    """Boilerplate-stripping main-content extraction (DOM text-density
+    heuristic, xqspark/core/maincontent.py) as a vectorized pandas UDF."""
+    from xqspark.core.maincontent import main_text
+
+    @pandas_udf(T.StringType())
+    def extract(html: pd.Series) -> pd.Series:
+        return _series_map(html, main_text)
+
+    return extract
+
+
 def make_xml_to_json_udf(depth: int = -1, compact: bool = False):
     @pandas_udf(T.StringType())
     def convert(payload: pd.Series) -> pd.Series:
