@@ -288,7 +288,18 @@ def test_fused_html_tree_differential():
         '<meta charset="u">', '<link rel="x">', '<style>.c{}</style>',
         '<script>var a=1;</script>', '<script><!-- x --></script>',
         '<textarea>\nv</textarea>', '<pre>\nk</pre>', '<!--c-->',
-        '<!-- a-b -->', '<table>', '</table>', '<td>', '<tr>',
+        '<!-- a-b -->', '<table>', '</table>', '<td>', '</td>', '<tr>',
+        '</tr>', '<th>', '<tbody>', '</tbody>', '<thead>', '<tfoot>',
+        '<caption>', '</caption>', '<colgroup>', '<col>', '</colgroup>',
+        '<table><tr><td>cell</td></tr></table>',
+        '<table><td>implied</table>',
+        '<table><tbody><tr><th>h</th><td>d</td></tr></tbody></table>',
+        '<table><tr><td><b>deep</td><td>next',
+        '<table><tr><td><table><tr><td>in</td></tr></table></td></tr></table>',
+        '<table>loose text</table>', '<table><div>fostered</div></table>',
+        '<table> \n <tr><td>ws-ok', '<td>stray-td</td>',
+        '<p><table><tr><td>qp', '<table><col span="2">',
+        '<b><table><tr><td>out</td></tr></table></b>',
         '<select>', '<option>o', '</select>', '<form>', '</form>',
         '<dd>', '<dt>', '<nobr>', '<b><i>x</b>y</i>', '&amp;', '&bad',
         '&lt;tag&gt;', '<div a=\'sq\'>', '<input disabled>',

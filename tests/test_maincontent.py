@@ -58,3 +58,27 @@ def test_malformed_is_contained():
     # truncated/misnested input must not raise (falls back to the general
     # WHATWG builder underneath)
     assert isinstance(main_text(b"<div><b>x<table><td>y"), str)
+
+
+def test_main_content_pipeline_mode():
+    """main-content as an extract_pages mode: the full salted-repartition
+    -> mapInPandas pipeline strips boilerplate per page."""
+    from xqspark.pipeline import PAGES_SCHEMA, build_session, extract_pages
+
+    spark = build_session(cpus=2, app="xq-maincontent")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = [
+        (f"http://h{i}.example/p", None,
+         page(f'<div id="m"><p>main body text for page number {i} with '
+              f'plenty of words</p></div>').encode(), "", "en")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = {r["url"]: r for r in extract_pages(df, mode="main-content").collect()}
+    assert len(got) == 6
+    for i in range(6):
+        r = got[f"http://h{i}.example/p"]
+        assert r["error"] is None
+        assert r["extracted"] == (
+            f"main body text for page number {i} with plenty of words"
+        )

@@ -854,13 +854,13 @@ def parse_html(data: bytes | str) -> DomNode:
     """Build the WHATWG tree for a document.
 
     A fused tokenizer+tree fast path handles the common well-nested
-    subset (double/single-quoted or bare attributes, no tables/selects/
-    forms, formatting elements closed in order, no adoption-agency or
-    foster-parenting triggers) in one regex-driven pass with no token
-    objects; anything outside that subset raises _TreeFallback and the
-    document re-parses on the general Go-faithful token + WHATWG builder
-    path, so trees are identical either way (differential-fuzzed in
-    test_fuzz.py)."""
+    subset (double/single-quoted or bare attributes, legal table
+    structure, formatting elements closed in order, no adoption-agency,
+    reconstruction, or foster-parenting triggers) in one regex-driven
+    pass with no token objects; anything outside that subset raises
+    _TreeFallback and the document re-parses on the general Go-faithful
+    token + WHATWG builder path, so trees are identical either way
+    (differential-fuzzed in test_fuzz.py)."""
     if isinstance(data, bytes):
         data = data.decode("utf-8", errors="surrogateescape")
     try:
@@ -877,14 +877,18 @@ class _TreeFallback(Exception):
 # --- fused tokenizer + tree builder fast path -------------------------------
 #
 # Invariants that make the shortcut tree equal the WHATWG tree:
-# * no table/select/form/button/template/applet/marquee/object/nobr/
-#   image/plaintext/frameset anywhere (their insertion modes bail);
-# * formatting elements close ONLY via their own matching end tag while
-#   on top of the stack — any implied pop of a formatting element would
-#   trigger reconstruction/adoption in the general builder, so it bails;
-# under those two, the active-formatting list always mirrors the open
-# formatting elements, reconstruction is a no-op, the adoption agency
-# reduces to a plain pop, and foster parenting never fires.
+# * no select/form/button/template/applet/marquee/object/nobr/image/
+#   plaintext/frameset anywhere (their insertion modes bail);
+# * TABLES are supported in their legal shapes — clear-to-context,
+#   implied tbody/tr/colgroup, cell markers clearing the formatting
+#   scope — but anything that would FOSTER-PARENT (character data or an
+#   illegal element directly inside table/tbody/thead/tfoot/tr) bails;
+# * the active formatting list is mirrored exactly (markers included):
+#   a formatting element may leave the stack only via its own matching
+#   end tag while current (AAA simple case) or together with its
+#   enclosing cell (marker clear) — any pop that would leave a live
+#   entry behind (and so trigger reconstruction or a real adoption-
+#   agency run in the general builder) bails.
 
 _F_STRUCT = 1      # html/head/body
 _F_BAIL = 2
@@ -895,13 +899,14 @@ _F_FMT = 32
 _F_SIB = 64        # li/dd/dt sibling close
 _F_RAW = 128       # raw-text/RCDATA content swallow
 _F_HEADING = 256
+_F_TBL = 512       # table STRUCTURE start tags (td/tr/tbody/... not table)
+_F_TBLEND = 1024   # table-scoped end tags (incl. table itself)
 
 _FAST_BAIL_TAGS = frozenset(
     (
-        "table", "caption", "col", "colgroup", "tbody", "td", "tfoot",
-        "th", "thead", "tr", "select", "option", "optgroup", "form",
-        "button", "applet", "marquee", "object", "template", "nobr",
-        "image", "plaintext", "frameset", "frame",
+        "select", "option", "optgroup", "form", "button", "applet",
+        "marquee", "object", "template", "nobr", "image", "plaintext",
+        "frameset", "frame",
     )
 )
 
@@ -923,6 +928,8 @@ def _build_fast_flags() -> dict:
     add(("li", "dd", "dt"), _F_SIB)
     add(RAW_TEXT_TAGS - {"plaintext"}, _F_RAW)
     add(_HEADINGS, _F_HEADING)
+    add(_TABLE_STRUCTURE, _F_TBL)
+    add(_TABLE_END, _F_TBLEND)
     return flags
 
 
@@ -981,6 +988,8 @@ def _parse_html_fast(s: str) -> DomNode:
     head: DomNode | None = None
     body: DomNode | None = None
     stack: list[DomNode] = []  # mutated in place (closures cache it)
+    afe: list = []  # active formatting list: DomNode | _MARKER, mirrored
+    quirks = True  # doctype-less = quirks (gates <table>-closes-p)
     order = 0  # creation order == document order (tail appends only) ...
     dirty = False  # ... except head re-entry; then re-walk at the end
     pos = 0
@@ -1035,6 +1044,26 @@ def _parse_html_fast(s: str) -> DomNode:
             if node.data in _FORMATTING:
                 raise _TreeFallback
 
+    def pop_slice(i: int) -> None:
+        """Pop stack[i:] with the general builder's marker semantics:
+        each popped marker-scoped element (td/th/caption) clears the
+        active formatting list to its marker — formatting left open
+        inside a cell is dropped WITH the cell, exactly like the general
+        path, so no reconstruction concern. Bails only if a popped
+        formatting element would survive in the list (invariant break)."""
+        popped = stack[i:]
+        del stack[i:]
+        for p in popped:
+            if p.data in _MARKER_TAGS:
+                while afe:
+                    if afe.pop() is _MARKER:
+                        break
+        for p in popped:
+            if p.data in _FORMATTING:
+                for e in afe:
+                    if e is p:
+                        raise _TreeFallback
+
     while pos < n:
         # -- text up to the next markup-starting '<' (same scan rule as
         # HtmlTokenizer: '<' + letter, '/', '!' or '?') --
@@ -1076,6 +1105,8 @@ def _parse_html_fast(s: str) -> DomNode:
                     continue
                 open_body()
             cur = stack[-1]
+            if cur.data in _TABLE_CTX and t.strip(" \t\n\f\r") != "":
+                raise _TreeFallback  # character data fosters out of tables
             ch = cur.children
             if ch:
                 last = ch[-1]
@@ -1165,16 +1196,79 @@ def _parse_html_fast(s: str) -> DomNode:
             else:
                 if body is None:
                     open_body()
+                if flags & _F_TBL:
+                    # table structure start tag: ignored without an open
+                    # table; else clear-to-context + implied wrappers
+                    # (WHATWG table insertion modes, general-path parity)
+                    for nd in stack:
+                        if nd.data == "table":
+                            break
+                    else:
+                        continue  # stray structure tag: ignored
+                    if name == "col":
+                        ctx = ("colgroup", "table")
+                    elif name == "tr":
+                        ctx = ("tbody", "tfoot", "thead", "table")
+                    elif name in ("td", "th"):
+                        ctx = ("tr", "tbody", "tfoot", "thead", "table")
+                    else:  # tbody tfoot thead caption colgroup
+                        ctx = ("table",)
+                    for i in range(len(stack) - 1, -1, -1):
+                        nd = stack[i]
+                        if nd.data in ctx or nd is body or nd is html:
+                            if i + 1 < len(stack):
+                                pop_slice(i + 1)
+                            break
+                    cur = stack[-1]
+                    implied = None
+                    if name in ("td", "th"):
+                        if cur.data == "table":
+                            implied = "tbody"
+                        elif cur.data in ("tbody", "thead", "tfoot"):
+                            implied = "tr"
+                    elif name == "tr" and cur.data == "table":
+                        implied = "tbody"
+                    elif name == "col" and cur.data == "table":
+                        implied = "colgroup"
+                    while implied is not None:
+                        w = new_node(ELEMENT, implied, order)
+                        order += 1
+                        w.parent = cur
+                        cur.children.append(w)
+                        stack.append(w)
+                        cur = w
+                        # td/th may need tbody THEN tr
+                        implied = (
+                            "tr"
+                            if name in ("td", "th") and implied == "tbody"
+                            else None
+                        )
+                    if cur.data in _TABLE_CTX and name not in _ALLOWED_IN_TABLE_CTX.get(
+                        cur.data, ()
+                    ):
+                        raise _TreeFallback  # would foster-parent
+                    element.order = order
+                    order += 1
+                    element.parent = cur
+                    cur.children.append(element)
+                    if push:
+                        stack.append(element)
+                        if name in _MARKER_TAGS:
+                            afe.append(_MARKER)
+                    continue
                 if flags & _F_FMT:
                     same = 0
-                    for node in stack:
-                        if node.data == name:
+                    for e in reversed(afe):
+                        if e is _MARKER:
+                            break
+                        if e.data == name:
                             same += 1
                     if (name == "a" and same) or same >= 2:
-                        # <a>-in-afe adoption / Noah's Ark could engage
+                        # <a>-adoption / Noah's Ark could engage (both are
+                        # scoped to the last marker, like the general path)
                         raise _TreeFallback
                 else:
-                    if flags & _F_CLOSES_P:
+                    if flags & _F_CLOSES_P and not (quirks and name == "table"):
                         for i in range(len(stack) - 1, -1, -1):
                             tag = stack[i].data
                             if tag == "p":
@@ -1201,12 +1295,18 @@ def _parse_html_fast(s: str) -> DomNode:
                     ):
                         stack.pop()
                 cur = stack[-1]
+                if cur.data in _TABLE_CTX and name not in _ALLOWED_IN_TABLE_CTX.get(
+                    cur.data, ()
+                ):
+                    raise _TreeFallback  # would foster-parent
                 element.order = order
                 order += 1
                 element.parent = cur
                 cur.children.append(element)
                 if push:
                     stack.append(element)
+                    if flags & _F_FMT:
+                        afe.append(element)
             if flags & _F_RAW:
                 # swallow raw/RCDATA content to the matching close tag
                 if name == "script":
@@ -1293,17 +1393,47 @@ def _parse_html_fast(s: str) -> DomNode:
                     node = None
                 if node is None or node.data != "p":
                     # no p in button scope: synthesize an empty <p>
-                    open_body()
+                    if body is None:
+                        open_body()
+                    cur = stack[-1]
+                    if cur.data in _TABLE_CTX:
+                        raise _TreeFallback  # synthesized p would foster
                     p = DomNode(ELEMENT, "p")
                     p.order = order
                     order += 1
-                    stack[-1].append(p)
+                    cur.append(p)
+                continue
+            if flags & _F_TBLEND:
+                # pop-through-to-match within table scope; popped cells
+                # clear their formatting scope (pop_slice)
+                for i in range(len(stack) - 1, -1, -1):
+                    nd = stack[i]
+                    if nd is html or nd is body or nd is head:
+                        break
+                    if nd.data == name:
+                        pop_slice(i)
+                        break
+                    if nd.data in _TABLE_SCOPE_STOPS:
+                        break
                 continue
             if flags & _F_FMT:
-                if stack and stack[-1].data == name:
-                    stack.pop()  # adoption agency simple case
-                    continue
-                raise _TreeFallback
+                fe = None
+                for e in reversed(afe):
+                    if e is _MARKER:
+                        break
+                    if e.data == name:
+                        fe = e
+                        break
+                if fe is not None:
+                    # adoption agency simple case: the entry must be the
+                    # current node (anything else means a real AAA run)
+                    if stack and stack[-1] is fe and afe[-1] is fe:
+                        stack.pop()
+                        afe.pop()
+                        continue
+                    raise _TreeFallback
+                # no active entry since the last marker: AAA degrades to
+                # "any other end tag" — fall through to the scan below
             # any other end tag
             for i in range(len(stack) - 1, -1, -1):
                 node = stack[i]
@@ -1341,7 +1471,9 @@ def _parse_html_fast(s: str) -> DomNode:
             if s[pos + 2 : pos + 9].lower() == "doctype":
                 end = s.find(">", pos + 9)
                 pos = n if end == -1 else end + 1
-                continue  # quirks only gates <table>-closes-p; table bails
+                if html is None:  # late doctypes are ignored
+                    quirks = False
+                continue
             raise _TreeFallback  # bogus comment
         # c == "?": bogus comment
         raise _TreeFallback

@@ -166,6 +166,12 @@ def _make_extractor(mode: str, query: str, indent: str):
         return lambda p: to_json(p)
     if mode == "beautify":
         return lambda p: beautify(p, indent)
+    if mode == "main-content":
+        # boilerplate strip (DOM text-density heuristic) — the
+        # training-corpus default for page -> text
+        from xqspark.core.maincontent import main_text
+
+        return main_text
     if mode.startswith("css-attr:"):
         attr = mode.split(":", 1)[1]
         return lambda p: css_query(p, query, attr, False, indent)
