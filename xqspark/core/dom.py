@@ -111,6 +111,23 @@ class DomNode:
         return f"<DomNode {self.type} {self.full_name()!r}>"
 
 
+def _new_node(t: str, d: str, o: int) -> DomNode:
+    """Inline-slot DomNode construction for the fused hot loops (skips
+    the __init__ call; semantics identical — all slots set)."""
+    node = DomNode.__new__(DomNode)
+    node.type = t
+    node.data = d
+    node.prefix = ""
+    node.namespace = ""
+    node.attrs = []
+    node.parent = None
+    node.children = []
+    node.order = o
+    node.cdata = False
+    node.pi_inst = ""
+    return node
+
+
 class _DomFallback(Exception):
     """Input uses a construct outside the fused DOM fast path."""
 
@@ -150,66 +167,65 @@ def _parse_dom_fast(s: str) -> DomNode:
     match = _DOM_TOKEN.match
     bad_text = _DOM_TEXT_BAD.search
     attr_findall = _DOM_ATTR.findall
+    new_node = _new_node
     while pos < n:
         m = match(s, pos)
         if m is None:
             raise _DomFallback
         pos = m.end()
-        # lastgroup identifies the alternative in one attribute access
-        # ("selfclose" is the trailing group of the start-tag branch)
-        kind = m.lastgroup
-        if kind == "selfclose":
-            name = m.group("start")
-            node = DomNode(ELEMENT, name)
-            node.order = order
+        # lastindex identifies the alternative in one attribute access
+        # (3 = the trailing (/?) group of the start-tag branch, which
+        # always participates; 4=text 5=end 6=pi 7=comment 8=directive)
+        kind = m.lastindex
+        if kind == 3:
+            name, attrs_raw, selfclose = m.group(1, 2, 3)
+            node = new_node(ELEMENT, name, order)
             order += 1
-            attrs_raw = m.group("attrs")
             if attrs_raw:
                 if "xmlns" in attrs_raw:
                     raise _DomFallback  # namespace machinery: general path
                 node.attrs = [
                     DomAttr("", k, v) for k, v in attr_findall(attrs_raw)
                 ]
-            current.append(node)
-            if not m.group("selfclose"):
+            node.parent = current
+            current.children.append(node)
+            if not selfclose:
                 current = node
             continue
-        if kind == "text":
-            t = m.group("text")
+        if kind == 4:
+            t = m.group(4)
             if bad_text(t):
                 raise _DomFallback
-            node = DomNode(TEXT, t)
-            node.order = order
+            node = new_node(TEXT, t, order)
             order += 1
-            current.append(node)
+            node.parent = current
+            current.children.append(node)
             continue
-        if kind == "end":
-            name = m.group("end")
-            if current.type != ELEMENT or current.data != name:
+        if kind == 5:
+            if current.type != ELEMENT or current.data != m.group(5):
                 raise _DomFallback  # mismatch: repair/error in general path
             current = current.parent
             continue
-        if kind == "pi":
-            target = m.group("pi")
+        if kind == 6:
+            target = m.group(6)
             idx = s.find("?>", pos)
             if idx == -1:
                 raise _DomFallback
             inst = s[pos:idx].lstrip(" \t\r\n")
             pos = idx + 2
-            kind = DECLARATION if target == "xml" else PI
-            node = DomNode(kind, target)
+            node = new_node(DECLARATION if target == "xml" else PI, target, order)
             node.pi_inst = inst
-            node.order = order
             order += 1
-            current.append(node)
+            node.parent = current
+            current.children.append(node)
             continue
-        if kind == "comment":
-            node = DomNode(COMMENT, m.group("comment"))
-            node.order = order
+        if kind == 7:
+            node = new_node(COMMENT, m.group(7), order)
             order += 1
-            current.append(node)
+            node.parent = current
+            current.children.append(node)
             continue
-        if kind == "directive":
+        if kind == 8:
             continue  # parse_dom skips directives
         raise _DomFallback  # unreachable
     if current is not doc:

@@ -22,7 +22,7 @@ Reuses DomNode so the CSS engine and serializers share one node type.
 
 from __future__ import annotations
 
-from .dom import COMMENT, DOCUMENT, ELEMENT, TEXT, DomAttr, DomNode
+from .dom import COMMENT, DOCUMENT, ELEMENT, TEXT, DomAttr, DomNode, _new_node
 from .entities import unescape
 from .htmltok import (
     _H_FAST_END,
@@ -963,23 +963,6 @@ def _find_ci(s: str, needle: str, start: int) -> int:
         if s[i : i + ln].lower() == needle:
             return i
         i += 1
-
-
-def _new_node(t: str, d: str, o: int) -> DomNode:
-    """Inline-slot DomNode construction for the fused hot loop (skips the
-    __init__ call; semantics identical — all slots set)."""
-    node = DomNode.__new__(DomNode)
-    node.type = t
-    node.data = d
-    node.prefix = ""
-    node.namespace = ""
-    node.attrs = []
-    node.parent = None
-    node.children = []
-    node.order = o
-    node.cdata = False
-    node.pi_inst = ""
-    return node
 
 
 def _parse_html_fast(s: str) -> DomNode:
