@@ -192,3 +192,46 @@ def test_bloom_indexes_support_any_k():
     assert len(idxs) == 8
     assert len(set(idxs)) >= 6  # double hashing: no degenerate constant
     assert all(0 <= i < (1 << 14) for i in idxs)
+
+
+def test_stream_main_content_mode(spark):
+    """main-content boilerplate strip flows through the streaming path
+    unchanged (stateless mapInPandas is streaming-safe)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xqspark.pipeline import PAGES_SCHEMA
+    from xqspark.streaming import extract_stream, read_pages_stream
+
+    base = tempfile.mkdtemp(prefix="xq_stream_mc_")
+    try:
+        page = ('<html><body><div id="nav"><a href="/">Home</a> '
+                '<a href="/a">About</a> <a href="/b">More</a></div>'
+                '<div id="m"><p>genuine streaming article content with '
+                'plenty of words for page %d</p></div>'
+                '<div id="f"><a href="/p">Privacy</a> (c)</div></body></html>')
+        rows = [(f"http://h{i}.example/p", None, (page % i).encode(), "", "en")
+                for i in range(8)]
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.parquet(
+            f"{base}/src"
+        )
+        extracted = extract_stream(
+            read_pages_stream(spark, f"{base}/src"), mode="main-content"
+        )
+        q = (
+            extracted.writeStream.format("memory")
+            .queryName("mc_stream")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql("select * from mc_stream").collect()
+        assert len(got) == 8
+        for r in got:
+            assert r["error"] is None
+            assert r["extracted"].startswith("genuine streaming article")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

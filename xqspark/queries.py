@@ -294,6 +294,52 @@ def q_charset_decl_sql():
     )
 
 
+def q_xpath_spans(spark, sf_dir):
+    """extract -> text/SPANS map (the north rule's span-producing
+    extract): every <w> token's string-value plus its (start, end)
+    character offsets in the document, located by a deterministic
+    forward scan. The oracle recomputes the same offsets arithmetically
+    from the construction ('<doc><w>' is 8 chars, each token adds
+    len(tok) + len('</w><w>'))."""
+    from xqspark.udfs import make_xpath_spans_udf
+
+    html = F.concat(
+        F.lit("<doc><w>"),
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", "</w><w>"),
+        F.lit("</w></doc>"),
+    )
+    udf = make_xpath_spans_udf("//w")
+    spans = udf(html.cast("binary"))
+    first = F.element_at(spans, 1)
+    last = F.element_at(spans, -1)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(spans).cast("long").alias("n_spans"),
+        first["text"].alias("first_text"),
+        first["start"].alias("first_start"),
+        first["end"].alias("first_end"),
+        last["text"].alias("last_text"),
+        last["start"].alias("last_start"),
+    )
+
+
+def q_xpath_spans_sql():
+    # tokens = \S+ runs; first token starts at char 8 ('<doc><w>');
+    # each later token starts at prev_end + 7 ('</w><w>'); the last
+    # token's start = 8 + (sum of earlier token lengths) + 7*(n-1)
+    return (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, len(toks)::BIGINT AS n_spans, "
+        "toks[1] AS first_text, 8 AS first_start, "
+        "(8 + length(toks[1]))::INT AS first_end, "
+        "toks[-1] AS last_text, "
+        "(8 + (length(array_to_string(toks, '')) - length(toks[-1])) "
+        "+ 7 * (len(toks) - 1))::INT AS last_start "
+        "FROM t"
+    )
+
+
 def q_charset_transcode(spark, sf_dir):
     """End-to-end charset TRANSCODE through the real extraction path
     (utils.go:708-717 / golden pair 3 semantics, not just the decl
@@ -826,6 +872,60 @@ def q_lsh_pairs_sql(n_bands: int = 2, n_rows: int = 2, band_cap: int = 64):
         f"WHERE n_band <= {band_cap}) "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM ok a JOIN ok b ON a.band = b.band AND a.doc_id < b.doc_id"
+    )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) token 3-grams — shared by minhash and
+    decontamination."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag every document sharing ANY token
+    3-gram with the benchmark set (here: doc_id < 5 stands in for an
+    eval suite) — the n-gram-overlap decontamination step LLM training
+    pipelines run before training. Scale shape: the benchmark shingle
+    set is tiny and BROADCAST; the corpus explodes shingles once and
+    left-semi joins against it map-side, so the only shuffled rows are
+    bare doc_ids (hit-set distinct + flag join) — document text never
+    moves. At 100 TB the cost is one pass over the tokens."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs)
+    bench = (
+        sh.filter(F.col("doc_id") < 5).select("shingle").distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.select("doc_id").join(
+        hits.withColumn("contaminated", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
+def q_decontaminate_sql():
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM toks WHERE len(t) >= 3), "
+        "bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5), "
+        "hits AS (SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM bench)) "
+        "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
     )
 
 
@@ -1849,6 +1949,7 @@ QUERIES = {
     "xpath_count": q_xpath_count,
     "xpath_boolean": q_xpath_boolean,
     "xpath_node_mode": q_xpath_node_mode,
+    "xpath_spans": q_xpath_spans,
     "css_lang_attr": q_css_lang_attr,
     "css_node_mode": q_css_node_mode,
     "beautify_xml": q_beautify_xml,
@@ -1873,6 +1974,7 @@ QUERIES = {
     "minhash_sig": q_minhash_sig,
     "lsh_pairs": q_lsh_pairs,
     "jaccard_adjacent": q_jaccard_adjacent,
+    "decontaminate": q_decontaminate,
     "ann_topk": q_ann_topk,
     "ann_ivf_label": q_ann_ivf_label,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -1898,6 +2000,7 @@ ORACLES = {
     "xpath_count": q_xpath_count_sql(),
     "xpath_boolean": q_xpath_boolean_sql(),
     "xpath_node_mode": q_xpath_node_mode_sql(),
+    "xpath_spans": q_xpath_spans_sql(),
     "css_lang_attr": q_css_lang_attr_sql(),
     "css_node_mode": q_css_node_mode_sql(),
     "beautify_xml": q_beautify_xml_sql(),
@@ -1922,6 +2025,7 @@ ORACLES = {
     "minhash_sig": q_minhash_sig_sql(),
     "lsh_pairs": q_lsh_pairs_sql(),
     "jaccard_adjacent": q_jaccard_adjacent_sql(),
+    "decontaminate": q_decontaminate_sql(),
     "ann_topk": q_ann_topk_sql(),
     "ann_ivf_label": q_ann_ivf_label_sql(),
     "ann_ivf_kmeans": q_ann_ivf_kmeans_sql(),

@@ -126,6 +126,53 @@ def make_xpath_output_udf(query: str, single: bool = False, with_tags: bool = Fa
     return extract
 
 
+def make_xpath_spans_udf(query: str):
+    """extract(html, xpath) -> spans map (north rule: "text/spans maps"):
+    per matched node, the trimmed string-value PLUS its (start, end)
+    character offsets in the decoded document. Offsets are located by a
+    forward scan (each match searched at-or-after the previous match's
+    end), which is deterministic and correct whenever node order follows
+    document order — XPath node-sets do. A value the scan cannot locate
+    (entity-decoded text differing from the source bytes) gets -1/-1
+    rather than a guess."""
+    from xqspark.core.charset import decode_payload
+
+    expr = compile_xpath(query)
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("text", T.StringType()),
+                T.StructField("start", T.IntegerType()),
+                T.StructField("end", T.IntegerType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_type)
+    def extract(html: pd.Series) -> pd.Series:
+        def one(payload):
+            text = decode_payload(payload) if isinstance(payload, bytes) else payload
+            doc = parse_dom(payload, strict=False)
+            val = expr.evaluate(doc)
+            if not isinstance(val, list):
+                return []
+            out = []
+            cursor = 0
+            for node in val:
+                sv = go_trim_space(string_value(node))
+                idx = text.find(sv, cursor) if sv else -1
+                if idx == -1:
+                    out.append((sv, -1, -1))
+                else:
+                    out.append((sv, idx, idx + len(sv)))
+                    cursor = idx + len(sv)
+            return out
+
+        return _series_map(html, one)
+
+    return extract
+
+
 def make_css_values_udf(selector: str, attr: str = ""):
     """extract_css / extract_css_attr: ArrayType(StringType). The selector
     compiles ONCE at factory time and ships in the closure — not per batch."""
