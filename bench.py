@@ -119,6 +119,7 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
         "ann_topk",
         "ann_ivf_lloyd",
         "simhash",
+        "main_content",
     ]
     spark = build_session(cpus=cpus, app="xq-bench")
     spark.sparkContext.setLogLevel("ERROR")

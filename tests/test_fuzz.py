@@ -308,10 +308,18 @@ def test_fused_html_tree_differential():
         'x < y', '<em>', '</em>', '<button>', '<svg>', '</svg>',
         '<div  a="1"\tb="2">', '<p>one<p>two', '<td a="v">', '\r\n',
         '<h3>', '</h3>', '</li>', '</ul>', '</p>', '</b>', '</a>',
+        '<b><b>', '</b></b>', '<a href="1">x</a><a href="2">y</a>',
+        '<head></head> <meta a="1">', '<p><b>x<div>y</div>', '<wbr>',
+        '</head><title>late</title>', '<xmp>raw</xmp>', '<script>s',
+        '<title>t', '\x00', 'a&#0;b', '&#65;', '<body>', '<body a="1">',
+        '<html b="2">', '</body><div>after</div>', '<caption><b>x</caption>',
+        '<h1><b>x</b></h1><h2>', '<p a="">', '<div a="1" a="2">',
+        '<table><thead><tr><th>h', '<table><tr><td><i>x</i></td><td><i>y',
+        '<table><colgroup><col></colgroup><tr><td>c',
     ]
     n_fast = n_fallback = 0
-    for _ in range(2500):
-        doc = "".join(random.choice(frag) for _ in range(random.randint(1, 12)))
+    for _ in range(3500):
+        doc = "".join(random.choice(frag) for _ in range(random.randint(1, 14)))
         want = tree_sig(general(doc))
         try:
             got = tree_sig(ht._parse_html_fast(doc))
@@ -321,4 +329,4 @@ def test_fused_html_tree_differential():
             n_fallback += 1
         assert want == got, repr(doc)
     # the soup must actually exercise BOTH paths
-    assert n_fast > 200 and n_fallback > 200, (n_fast, n_fallback)
+    assert n_fast > 300 and n_fallback > 300, (n_fast, n_fallback)
