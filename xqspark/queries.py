@@ -929,6 +929,98 @@ def q_decontaminate_sql():
     )
 
 
+def q_url_normalize(spark, sf_dir):
+    """Crawl URL canonicalization — the dedup-prerequisite every crawl
+    pipeline runs before exact/near dedup (the same page arrives as
+    HTTP://Host:80/a?b=1&a=2#x and http://host/a?a=2&b=1). Rules, all
+    JVM-side (codegen'd regexp/array ops, map-only at 100 TB):
+    lowercase scheme+host, strip the scheme's default port (:80 http /
+    :443 https), drop the fragment, sort query parameters. Messy URLs
+    are CONSTRUCTED from doc_id so the oracle can apply the identical
+    rules in SQL."""
+    docs = _docs(spark, sf_dir)
+    case = F.pmod(F.col("doc_id"), F.lit(4))
+    host = F.concat(F.lit("Host"), F.col("doc_id").cast("string"))
+    url = (
+        F.when(case == 0, F.concat(F.lit("HTTP://WWW."), host, F.lit(".COM:80/A/B?z=1&a=2#frag")))
+        .when(case == 1, F.concat(F.lit("https://"), host, F.lit(".com:443/")))
+        .when(case == 2, F.concat(F.lit("http://"), host, F.lit(".com/path/?q=x")))
+        .otherwise(F.concat(F.lit("HTTPS://"), host, F.lit(".COM:8443/x?b=1&A=2")))
+    )
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("raw_url"), canon.alias("canonical_url"))
+
+
+def q_url_normalize_sql():
+    return (
+        "WITH u AS (SELECT doc_id, CASE doc_id % 4 "
+        "WHEN 0 THEN 'HTTP://WWW.Host' || doc_id || '.COM:80/A/B?z=1&a=2#frag' "
+        "WHEN 1 THEN 'https://Host' || doc_id || '.com:443/' "
+        "WHEN 2 THEN 'http://Host' || doc_id || '.com/path/?q=x' "
+        "ELSE 'HTTPS://Host' || doc_id || '.COM:8443/x?b=1&A=2' END AS raw_url "
+        "FROM documents), "
+        "parts AS (SELECT doc_id, raw_url, "
+        "lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme, "
+        "lower(regexp_extract(raw_url, '^[^:]+://([^/?#]*)', 1)) AS hostport, "
+        "regexp_extract(raw_url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path, "
+        "regexp_extract(raw_url, '\\?([^#]*)', 1) AS query FROM u) "
+        "SELECT doc_id, raw_url, scheme || '://' || "
+        "(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '') "
+        "WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '') "
+        "ELSE hostport END) || path || "
+        "(CASE WHEN query != '' THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&') "
+        "ELSE '' END) AS canonical_url FROM parts"
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Intra-document repetition (Gopher/MassiveText-style quality
+    rule): the fraction of duplicate token 3-grams inside each document
+    — machine-generated and boilerplate pages repeat themselves. Pure
+    JVM-side array ops (size/array_distinct over a transform), no
+    shuffle at all: at 100 TB this is a map-only pass."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    sh = F.expr(
+        "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+    )
+    rep = F.round(
+        (F.size(sh) - F.size(F.array_distinct(sh))) / F.size(sh), 4
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.size("t") >= 3, rep).otherwise(F.lit(0.0)).alias("dup_3gram_frac"),
+    )
+
+
+def q_repetition_sql():
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE NULL END AS g FROM toks) "
+        "SELECT doc_id, CASE WHEN g IS NULL THEN 0.0 ELSE "
+        "round((len(g) - len(list_distinct(g))) / len(g), 4) END AS dup_3gram_frac "
+        "FROM sh"
+    )
+
+
 def q_jaccard_adjacent(spark, sf_dir):
     """Exact n-gram Jaccard between consecutive doc ids (token unigram sets)."""
     docs = _docs(spark, sf_dir).select(
@@ -1975,6 +2067,8 @@ QUERIES = {
     "lsh_pairs": q_lsh_pairs,
     "jaccard_adjacent": q_jaccard_adjacent,
     "decontaminate": q_decontaminate,
+    "repetition": q_repetition,
+    "url_normalize": q_url_normalize,
     "ann_topk": q_ann_topk,
     "ann_ivf_label": q_ann_ivf_label,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -2026,6 +2120,8 @@ ORACLES = {
     "lsh_pairs": q_lsh_pairs_sql(),
     "jaccard_adjacent": q_jaccard_adjacent_sql(),
     "decontaminate": q_decontaminate_sql(),
+    "repetition": q_repetition_sql(),
+    "url_normalize": q_url_normalize_sql(),
     "ann_topk": q_ann_topk_sql(),
     "ann_ivf_label": q_ann_ivf_label_sql(),
     "ann_ivf_kmeans": q_ann_ivf_kmeans_sql(),
