@@ -301,6 +301,9 @@ def test_fused_html_tree_differential():
         '<p><table><tr><td>qp', '<table><col span="2">',
         '<b><table><tr><td>out</td></tr></table></b>',
         '<select>', '<option>o', '</select>', '<form>', '</form>',
+        '<form a="f"><input disabled></form>', '<form><form>n</form></form>',
+        '<form><div>x</form>y</div>', '<image src="i">', '</image>',
+        '<table><form><tr><td>tf', '<form><b>x</form>',
         '<dd>', '<dt>', '<nobr>', '<b><i>x</b>y</i>', '&amp;', '&bad',
         '&lt;tag&gt;', '<div a=\'sq\'>', '<input disabled>',
         '<DIV CLASS="UP">', '</DIV>', '<noscript><link></noscript>',

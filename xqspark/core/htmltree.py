@@ -904,8 +904,8 @@ _F_TBLEND = 1024   # table-scoped end tags (incl. table itself)
 
 _FAST_BAIL_TAGS = frozenset(
     (
-        "select", "option", "optgroup", "form", "button", "applet",
-        "marquee", "object", "template", "nobr", "image", "plaintext",
+        "select", "option", "optgroup", "button", "applet",
+        "marquee", "object", "template", "nobr", "plaintext",
         "frameset", "frame",
     )
 )
@@ -972,6 +972,7 @@ def _parse_html_fast(s: str) -> DomNode:
     body: DomNode | None = None
     stack: list[DomNode] = []  # mutated in place (closures cache it)
     afe: list = []  # active formatting list: DomNode | _MARKER, mirrored
+    form_node: DomNode | None = None  # WHATWG form element pointer
     quirks = True  # doctype-less = quirks (gates <table>-closes-p)
     order = 0  # creation order == document order (tail appends only) ...
     dirty = False  # ... except head re-entry; then re-walk at the end
@@ -1116,6 +1117,8 @@ def _parse_html_fast(s: str) -> DomNode:
             pos = m.end()
             name, attrs_raw, _selfclose = m.group(1, 2, 3)
             name = name.lower()
+            if name == "image":
+                name = "img"  # WHATWG "in body": <image> is <img>
             flags = flags_get(name, 0)
             if flags & (_F_BAIL | _F_STRUCT):
                 if flags & _F_BAIL:
@@ -1251,6 +1254,8 @@ def _parse_html_fast(s: str) -> DomNode:
                         # scoped to the last marker, like the general path)
                         raise _TreeFallback
                 else:
+                    if name == "form" and form_node is not None:
+                        continue  # nested <form> is ignored (form pointer)
                     if flags & _F_CLOSES_P and not (quirks and name == "table"):
                         for i in range(len(stack) - 1, -1, -1):
                             tag = stack[i].data
@@ -1290,6 +1295,8 @@ def _parse_html_fast(s: str) -> DomNode:
                     stack.append(element)
                     if flags & _F_FMT:
                         afe.append(element)
+                if name == "form":
+                    form_node = element
             if flags & _F_RAW:
                 # swallow raw/RCDATA content to the matching close tag
                 if name == "script":
@@ -1363,6 +1370,28 @@ def _parse_html_fast(s: str) -> DomNode:
                 continue
             if name == "br":
                 raise _TreeFallback  # </br> synthesizes a <br>
+            if name == "form":
+                # clear the pointer, then remove JUST the form node from
+                # the stack (elements above it stay open) — WHATWG form
+                # end-tag rule, general-path parity
+                fnode = form_node
+                form_node = None
+                if fnode is None:
+                    continue
+                in_scope = False
+                for nd in reversed(stack):
+                    if nd is fnode:
+                        in_scope = True
+                        break
+                    if nd.data in _DEFAULT_SCOPE_STOPS:
+                        break
+                if not in_scope:
+                    continue  # parse error: ignore
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i] is fnode:
+                        del stack[i]
+                        break
+                continue
             if name == "p":
                 for i in range(len(stack) - 1, -1, -1):
                     node = stack[i]
