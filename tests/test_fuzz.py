@@ -304,6 +304,9 @@ def test_fused_html_tree_differential():
         '<form a="f"><input disabled></form>', '<form><form>n</form></form>',
         '<form><div>x</form>y</div>', '<image src="i">', '</image>',
         '<table><form><tr><td>tf', '<form><b>x</form>',
+        '<button>', '</button>', '<button>x<button>y</button>', '</br>',
+        '<br/>', '<title>a&amp;b</title>', '<textarea>x&lt;y</textarea>',
+        '<listing>\nx</listing>', '<table></br>', '<p></br></p>',
         '<dd>', '<dt>', '<nobr>', '<b><i>x</b>y</i>', '&amp;', '&bad',
         '&lt;tag&gt;', '<div a=\'sq\'>', '<input disabled>',
         '<DIV CLASS="UP">', '</DIV>', '<noscript><link></noscript>',

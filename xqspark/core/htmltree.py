@@ -904,9 +904,8 @@ _F_TBLEND = 1024   # table-scoped end tags (incl. table itself)
 
 _FAST_BAIL_TAGS = frozenset(
     (
-        "select", "option", "optgroup", "button", "applet",
-        "marquee", "object", "template", "nobr", "plaintext",
-        "frameset", "frame",
+        "select", "option", "optgroup", "applet", "marquee", "object",
+        "template", "nobr", "plaintext", "frameset", "frame",
     )
 )
 
@@ -1256,6 +1255,18 @@ def _parse_html_fast(s: str) -> DomNode:
                 else:
                     if name == "form" and form_node is not None:
                         continue  # nested <form> is ignored (form pointer)
+                    if name == "button":
+                        # implied </button> when one is in default scope
+                        # (the scan's stops include every marker tag, so
+                        # the popped slice never crosses a cell)
+                        for i in range(len(stack) - 1, -1, -1):
+                            nd = stack[i]
+                            if nd.data == "button":
+                                check_popped(stack[i:])
+                                del stack[i:]
+                                break
+                            if nd.data in _DEFAULT_SCOPE_STOPS:
+                                break
                     if flags & _F_CLOSES_P and not (quirks and name == "table"):
                         for i in range(len(stack) - 1, -1, -1):
                             tag = stack[i].data
@@ -1369,7 +1380,18 @@ def _parse_html_fast(s: str) -> DomNode:
                     del stack[2:]
                 continue
             if name == "br":
-                raise _TreeFallback  # </br> synthesizes a <br>
+                # WHATWG: </br> acts as <br> (reconstruction is a no-op
+                # under the fast-path invariant)
+                if body is None:
+                    open_body()
+                cur = stack[-1]
+                if cur.data in _TABLE_CTX:
+                    raise _TreeFallback  # the br would foster-parent
+                node = new_node(ELEMENT, "br", order)
+                order += 1
+                node.parent = cur
+                cur.children.append(node)
+                continue
             if name == "form":
                 # clear the pointer, then remove JUST the form node from
                 # the stack (elements above it stay open) — WHATWG form
