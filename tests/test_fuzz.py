@@ -301,6 +301,15 @@ def test_fused_html_tree_differential():
         '<p><table><tr><td>qp', '<table><col span="2">',
         '<b><table><tr><td>out</td></tr></table></b>',
         '<select>', '<option>o', '</select>', '<form>', '</form>',
+        '<option>', '</option>', '<optgroup>', '</optgroup>',
+        '<select><option>a<option>b</select>',
+        '<select><div>ig<option>a</select>', '<select><input>',
+        '<select><b>f</b><option>a</select>', '<select><select>',
+        '<select><optgroup><option>a<optgroup><option>b</select>',
+        '<table><tr><td><select><option>x<td>brk',
+        '<select><script>s</script><option>q</select>',
+        '<select><textarea>t</textarea>', '<select></table>',
+        '<select><title>raw</title>x</select>', '<select></br></select>',
         '<form a="f"><input disabled></form>', '<form><form>n</form></form>',
         '<form><div>x</form>y</div>', '<image src="i">', '</image>',
         '<table><form><tr><td>tf', '<form><b>x</form>',

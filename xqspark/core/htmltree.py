@@ -877,8 +877,10 @@ class _TreeFallback(Exception):
 # --- fused tokenizer + tree builder fast path -------------------------------
 #
 # Invariants that make the shortcut tree equal the WHATWG tree:
-# * no select/form/button/template/applet/marquee/object/nobr/image/
-#   plaintext/frameset anywhere (their insertion modes bail);
+# * no template/applet/marquee/object/nobr/plaintext/frameset anywhere
+#   (their insertion modes bail); selects, forms, buttons, and tables
+#   are handled with general-path parity (in-select ignores never create
+#   elements, so the formatting list stays untouched);
 # * TABLES are supported in their legal shapes — clear-to-context,
 #   implied tbody/tr/colgroup, cell markers clearing the formatting
 #   scope — but anything that would FOSTER-PARENT (character data or an
@@ -904,8 +906,8 @@ _F_TBLEND = 1024   # table-scoped end tags (incl. table itself)
 
 _FAST_BAIL_TAGS = frozenset(
     (
-        "select", "option", "optgroup", "applet", "marquee", "object",
-        "template", "nobr", "plaintext", "frameset", "frame",
+        "applet", "marquee", "object", "template", "nobr", "plaintext",
+        "frameset", "frame",
     )
 )
 
@@ -1026,6 +1028,25 @@ def _parse_html_fast(s: str) -> DomNode:
         for node in popped:
             if node.data in _FORMATTING:
                 raise _TreeFallback
+
+    def in_select() -> bool:
+        # general-path _select_on_stack: a select is open with only
+        # option/optgroup above it
+        for nd in reversed(stack):
+            d = nd.data
+            if d == "select":
+                return True
+            if d != "option" and d != "optgroup":
+                return False
+        return False
+
+    def pop_to_select() -> None:
+        # popped elements are only option/optgroup/select — never
+        # formatting or marker-scoped, so a plain del is faithful
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i].data == "select":
+                del stack[i:]
+                return
 
     def pop_slice(i: int) -> None:
         """Pop stack[i:] with the general builder's marker semantics:
@@ -1181,6 +1202,85 @@ def _parse_html_fast(s: str) -> DomNode:
             else:
                 if body is None:
                     open_body()
+                # select mode implies top-of-stack is select/option/optgroup
+                # (only those get pushed in it) — cheap guard, rare scan
+                top = stack[-1].data
+                if top == "select" or (
+                    (top == "option" or top == "optgroup") and in_select()
+                ):
+                    # "in select" insertion mode (general-path parity):
+                    # only option/optgroup insert; a nested <select> acts
+                    # as </select>; select-incompatible form controls and
+                    # (inside a table) table structure break out; script
+                    # passes through to in-head rules; everything else is
+                    # IGNORED (the element is never created, so the
+                    # formatting list is untouched)
+                    if name == "option":
+                        if stack[-1].data == "option":
+                            stack.pop()
+                        element.order = order
+                        order += 1
+                        cur = stack[-1]
+                        element.parent = cur
+                        cur.children.append(element)
+                        stack.append(element)
+                        continue
+                    if name == "optgroup":
+                        if stack[-1].data == "option":
+                            stack.pop()
+                        if stack[-1].data == "optgroup":
+                            stack.pop()
+                        element.order = order
+                        order += 1
+                        cur = stack[-1]
+                        element.parent = cur
+                        cur.children.append(element)
+                        stack.append(element)
+                        continue
+                    if name == "select":
+                        pop_to_select()  # parse error: acts as </select>
+                        continue
+                    if name in ("input", "keygen", "textarea") or (
+                        name in _SELECT_TABLE_BREAKOUT
+                        and any(nd.data == "table" for nd in stack)
+                    ):
+                        pop_to_select()  # act as </select>, fall through
+                    elif name == "script":
+                        pass  # in-head rules: allowed (raw swallow below)
+                    else:
+                        # ignored — but the TOKENIZER still enters raw
+                        # mode on raw-text tags, so their content arrives
+                        # as text appended to the select (general parity);
+                        # the close tag is consumed and ignored too
+                        if flags & _F_RAW:
+                            needle = "</" + name
+                            ln = len(needle)
+                            close = _find_ci(s, needle, pos)
+                            while close != -1:
+                                after = close + ln
+                                if after < n and (
+                                    s[after] in _HT_WS or s[after] in "/>"
+                                ):
+                                    break
+                                close = _find_ci(s, needle, close + 1)
+                            content = s[pos:n] if close == -1 else s[pos:close]
+                            pos = n if close == -1 else close
+                            if content:
+                                if "\r" in content:
+                                    content = content.replace(
+                                        "\r\n", "\n"
+                                    ).replace("\r", "\n")
+                                if "\x00" in content:
+                                    content = content.replace("\x00", "�")
+                                if name in ("textarea", "title"):
+                                    content = unescape(content)
+                                append_text(stack[-1], content)
+                            if close != -1:
+                                m2 = end_match(s, pos)
+                                if m2 is None or m2.group(1).lower() != name:
+                                    raise _TreeFallback
+                                pos = m2.end()  # end tag ignored in select
+                        continue  # ignored
                 if flags & _F_TBL:
                     # table structure start tag: ignored without an open
                     # table; else clear-to-context + implied wrappers
@@ -1255,6 +1355,11 @@ def _parse_html_fast(s: str) -> DomNode:
                 else:
                     if name == "form" and form_node is not None:
                         continue  # nested <form> is ignored (form pointer)
+                    if name in ("option", "optgroup"):
+                        # in body (outside select) only a CURRENT option
+                        # pops; optgroups nest (general-path parity)
+                        if stack[-1].data == "option":
+                            stack.pop()
                     if name == "button":
                         # implied </button> when one is in default scope
                         # (the scan's stops include every marker tag, so
@@ -1379,6 +1484,22 @@ def _parse_html_fast(s: str) -> DomNode:
                     check_popped(stack[2:])
                     del stack[2:]
                 continue
+            top = stack[-1].data if stack else ""
+            if top == "select" or (
+                (top == "option" or top == "optgroup") and in_select()
+            ):
+                # "in select" end tags (general-path parity): the three
+                # select tags resolve via any-other-end-tag below; table
+                # ends with an open table break out of the select;
+                # script passes; anything else (incl </br>) is ignored
+                if name in ("select", "option", "optgroup", "script"):
+                    pass
+                elif name in _SELECT_TABLE_BREAKOUT and any(
+                    nd.data == "table" for nd in stack
+                ):
+                    pop_to_select()  # act as </select>, fall through
+                else:
+                    continue  # ignored
             if name == "br":
                 # WHATWG: </br> acts as <br> (reconstruction is a no-op
                 # under the fast-path invariant)
