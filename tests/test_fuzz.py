@@ -320,6 +320,7 @@ def test_fused_html_tree_differential():
         '&lt;tag&gt;', '<div a=\'sq\'>', '<input disabled>',
         '<DIV CLASS="UP">', '</DIV>', '<noscript><link></noscript>',
         '<iframe>raw</iframe>', '<?pi?>', '<!bogus>', '</>', '<',
+        '<?xml version="1.0"?>', '<?php echo', '<?>',
         'x < y', '<em>', '</em>', '<button>', '<svg>', '</svg>',
         '<div  a="1"\tb="2">', '<p>one<p>two', '<td a="v">', '\r\n',
         '<h3>', '</h3>', '</li>', '</ul>', '</p>', '</b>', '</a>',

@@ -1629,9 +1629,26 @@ def _parse_html_fast(s: str) -> DomNode:
                 if html is None:  # late doctypes are ignored
                     quirks = False
                 continue
-            raise _TreeFallback  # bogus comment
-        # c == "?": bogus comment
-        raise _TreeFallback
+            raise _TreeFallback  # <!x bogus comment: general path
+        # c == "?": bogus comment reconsuming the '?' (WHATWG) — this is
+        # how XHTML-served-as-HTML prologs (<?xml ...?>) arrive, so the
+        # fast path keeps them: data runs from the '?' to the next '>'
+        end = s.find(">", pos)
+        if end == -1:
+            data = s[pos + 1 : n]
+            pos = n
+        else:
+            data = s[pos + 1 : end]
+            pos = end + 1
+        if "\r" in data:
+            data = data.replace("\r\n", "\n").replace("\r", "\n")
+        if "\x00" in data:
+            data = data.replace("\x00", "�")
+        node = DomNode(COMMENT, data)
+        node.order = order
+        order += 1
+        (stack[-1] if stack else doc).append(node)
+        continue
 
     idx = 0
     if dirty:
