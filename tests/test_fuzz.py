@@ -321,6 +321,10 @@ def test_fused_html_tree_differential():
         '<DIV CLASS="UP">', '</DIV>', '<noscript><link></noscript>',
         '<iframe>raw</iframe>', '<?pi?>', '<!bogus>', '</>', '<',
         '<?xml version="1.0"?>', '<?php echo', '<?>',
+        '<template>', '</template>', '<template><div>x</div></template>y',
+        '<b><template>x</template></b>', '<table><template><tr><td>t</template>',
+        '<select><template><option>o</template></select>',
+        '<template><b>f</template>after',
         'x < y', '<em>', '</em>', '<button>', '<svg>', '</svg>',
         '<div  a="1"\tb="2">', '<p>one<p>two', '<td a="v">', '\r\n',
         '<h3>', '</h3>', '</li>', '</ul>', '</p>', '</b>', '</a>',

@@ -906,7 +906,7 @@ _F_TBLEND = 1024   # table-scoped end tags (incl. table itself)
 
 _FAST_BAIL_TAGS = frozenset(
     (
-        "applet", "marquee", "object", "template", "nobr", "plaintext",
+        "applet", "marquee", "object", "nobr", "plaintext",
         "frameset", "frame",
     )
 )
@@ -1245,8 +1245,8 @@ def _parse_html_fast(s: str) -> DomNode:
                         and any(nd.data == "table" for nd in stack)
                     ):
                         pop_to_select()  # act as </select>, fall through
-                    elif name == "script":
-                        pass  # in-head rules: allowed (raw swallow below)
+                    elif name == "script" or name == "template":
+                        pass  # in-head rules: allowed
                     else:
                         # ignored — but the TOKENIZER still enters raw
                         # mode on raw-text tags, so their content arrives
@@ -1492,7 +1492,7 @@ def _parse_html_fast(s: str) -> DomNode:
                 # select tags resolve via any-other-end-tag below; table
                 # ends with an open table break out of the select;
                 # script passes; anything else (incl </br>) is ignored
-                if name in ("select", "option", "optgroup", "script"):
+                if name in ("select", "option", "optgroup", "script", "template"):
                     pass
                 elif name in _SELECT_TABLE_BREAKOUT and any(
                     nd.data == "table" for nd in stack
