@@ -321,6 +321,9 @@ def test_fused_html_tree_differential():
         '<DIV CLASS="UP">', '</DIV>', '<noscript><link></noscript>',
         '<iframe>raw</iframe>', '<?pi?>', '<!bogus>', '</>', '<',
         '<?xml version="1.0"?>', '<?php echo', '<?>',
+        '<applet>', '</applet>', '<marquee>x</marquee>', '<object a="o">',
+        '</object>', '<applet><b>f</applet>after', '<marquee><p>m',
+        '<table><applet>', '<b><marquee>x</marquee></b>', '<applet><td>',
         '<template>', '</template>', '<template><div>x</div></template>y',
         '<b><template>x</template></b>', '<table><template><tr><td>t</template>',
         '<select><template><option>o</template></select>',

@@ -903,12 +903,10 @@ _F_RAW = 128       # raw-text/RCDATA content swallow
 _F_HEADING = 256
 _F_TBL = 512       # table STRUCTURE start tags (td/tr/tbody/... not table)
 _F_TBLEND = 1024   # table-scoped end tags (incl. table itself)
+_F_MARKERELT = 2048  # applet/marquee/object: insert + formatting marker
 
 _FAST_BAIL_TAGS = frozenset(
-    (
-        "applet", "marquee", "object", "nobr", "plaintext",
-        "frameset", "frame",
-    )
+    ("nobr", "plaintext", "frameset", "frame")
 )
 
 
@@ -931,6 +929,7 @@ def _build_fast_flags() -> dict:
     add(_HEADINGS, _F_HEADING)
     add(_TABLE_STRUCTURE, _F_TBL)
     add(_TABLE_END, _F_TBLEND)
+    add(("applet", "marquee", "object"), _F_MARKERELT)
     return flags
 
 
@@ -1341,6 +1340,22 @@ def _parse_html_fast(s: str) -> DomNode:
                         if name in _MARKER_TAGS:
                             afe.append(_MARKER)
                     continue
+                if flags & _F_MARKERELT:
+                    # applet/marquee/object: insert + push a formatting
+                    # MARKER (reconstruction is a no-op under the
+                    # invariant; their pops run through pop_slice)
+                    cur = stack[-1]
+                    if cur.data in _TABLE_CTX and name not in _ALLOWED_IN_TABLE_CTX.get(
+                        cur.data, ()
+                    ):
+                        raise _TreeFallback  # would foster-parent
+                    element.order = order
+                    order += 1
+                    element.parent = cur
+                    cur.children.append(element)
+                    stack.append(element)
+                    afe.append(_MARKER)
+                    continue
                 if flags & _F_FMT:
                     same = 0
                     for e in reversed(afe):
@@ -1558,9 +1573,16 @@ def _parse_html_fast(s: str) -> DomNode:
                     order += 1
                     cur.append(p)
                 continue
-            if flags & _F_TBLEND:
-                # pop-through-to-match within table scope; popped cells
-                # clear their formatting scope (pop_slice)
+            if flags & (_F_TBLEND | _F_MARKERELT):
+                # pop-through-to-match within scope (table scope for
+                # table structure, default scope for applet/marquee/
+                # object); popped marker-scoped elements clear their
+                # formatting scope (pop_slice)
+                stops = (
+                    _DEFAULT_SCOPE_STOPS
+                    if flags & _F_MARKERELT
+                    else _TABLE_SCOPE_STOPS
+                )
                 for i in range(len(stack) - 1, -1, -1):
                     nd = stack[i]
                     if nd is html or nd is body or nd is head:
@@ -1568,7 +1590,7 @@ def _parse_html_fast(s: str) -> DomNode:
                     if nd.data == name:
                         pop_slice(i)
                         break
-                    if nd.data in _TABLE_SCOPE_STOPS:
+                    if nd.data in stops:
                         break
                 continue
             if flags & _F_FMT:
