@@ -166,3 +166,24 @@ def test_lsh_band_count_reuses_join_partitioning(spark):
     band_exchanges = re.findall(r"Exchange hashpartitioning\(band", plan)
     # one per self-join side (no extra one for the count window)
     assert len(band_exchanges) <= 2, plan[:2000]
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark):
+    """The benchmark shingle set must broadcast into a LEFT-SEMI join so
+    corpus text never shuffles; the only hash exchanges carry bare
+    doc_ids (hit-set distinct + flag join) or the tiny bench distinct."""
+    import re
+
+    df = QUERIES["decontaminate"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan):
+        assert m.group(1) in ("doc_id", "shingle"), plan[:2000]
+
+
+def test_map_only_quality_ops_have_no_exchange(spark):
+    """repetition and url_normalize claim map-only plans at 100 TB —
+    hold them to it: zero Exchange of any kind."""
+    for name in ("repetition", "url_normalize"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "Exchange" not in plan, (name, plan[:1500])
