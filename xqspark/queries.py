@@ -735,48 +735,73 @@ def q_fingerprint_sql():
 
 
 def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
-    """MinHash signatures over token 3-gram shingles (md5 hash family)."""
+    """MinHash signatures over token 3-gram shingles (md5 hash family).
+
+    In-row (r4): shingles stay an ARRAY column and each signature slot is
+    ``array_min(transform(...))`` — the signature stage is a MAP-ONLY
+    projection: no Generate (explode row stream), no Sort, no per-doc
+    aggregation shuffle. At 100 TB every near-dup pass pays this stage,
+    so removing its shuffle is the difference between one pass over the
+    tokens and a full explode+sort of the shingle stream. The hash family
+    is unchanged (4 independent 32-bit hashes per md5, 8 hex chars each;
+    hash k draws from md5(shingle '#' k//4) substring (k%4)*8); one md5
+    per shingle per 4-hash group, materialized once in an intermediate
+    projection so the four substring-mins share it."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
     )
     docs = docs.filter(F.size("t") >= 3)
     sh = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-            )
-        ).alias("shingle"),
+        F.expr(
+            "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+        ).alias("sh"),
     )
-    # hash family: 4 independent 32-bit hashes per md5 (8 hex chars each);
-    # hash k draws from md5(shingle '#' k//4) substring (k%4)*8 — one md5
-    # feeds four family members instead of one
-    def _hk(k: int):
-        grp = (k - 1) // 4
-        off = ((k - 1) % 4) * 8
-        base = F.col("shingle") if grp == 0 else F.concat(
-            F.col("shingle"), F.lit(f"#{grp}")
+    n_groups = (n_hashes + 3) // 4
+    grp_cols = []
+    for g in range(n_groups):
+        base = "s" if g == 0 else f"concat(s, '#{g}')"
+        grp_cols.append(
+            F.expr(f"transform(sh, s -> md5(encode({base}, 'UTF-8')))").alias(
+                f"h{g}"
+            )
         )
-        return F.substring(F.md5(F.encode(base, "UTF-8")), 1 + off, 8)
-
-    aggs = [F.min(_hk(k)).alias(f"mh{k}") for k in range(1, n_hashes + 1)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    hashed = sh.select("doc_id", *grp_cols)
+    mh = []
+    for k in range(1, n_hashes + 1):
+        g = (k - 1) // 4
+        off = ((k - 1) % 4) * 8
+        mh.append(
+            F.expr(
+                f"array_min(transform(h{g}, x -> substring(x, {1 + off}, 8)))"
+            ).alias(f"mh{k}")
+        )
+    return hashed.select("doc_id", *mh)
 
 
 def _minhash_sql_body(n_hashes: int = 4) -> str:
-    """DuckDB twin of _minhash_sig for any n_hashes (mirrors _hk's
-    grouped-md5 + 8-hex-substring family)."""
+    """DuckDB twin of _minhash_sig for any n_hashes: same in-row
+    list_min(list_transform(...)) shape, same grouped-md5 + 8-hex-substring
+    family. Respects the known list_transform+range lateral quirk
+    (range(1, len-1) with 1-based list indexing)."""
+    n_groups = (n_hashes + 3) // 4
+    hcols = []
+    for g in range(n_groups):
+        base = "s" if g == 0 else f"s || '#{g}'"
+        hcols.append(f"list_transform(sh, s -> md5({base})) AS h{g}")
     cols = []
     for k in range(1, n_hashes + 1):
-        grp = (k - 1) // 4
+        g = (k - 1) // 4
         off = ((k - 1) % 4) * 8
-        base = "shingle" if grp == 0 else f"shingle||'#{grp}'"
-        cols.append(f"min(substr(md5({base}), {1 + off}, 8)) AS mh{k}")
+        cols.append(
+            f"list_min(list_transform(h{g}, x -> substr(x, {1 + off}, 8))) AS mh{k}"
+        )
     return (
         "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents), "
-        "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), "
-        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM toks WHERE len(t) >= 3), "
-        f"sig AS (SELECT doc_id, {', '.join(cols)} FROM sh GROUP BY doc_id) "
+        "shing AS (SELECT doc_id, list_transform(range(1, len(t)-1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh FROM toks WHERE len(t) >= 3), "
+        f"hs AS (SELECT doc_id, {', '.join(hcols)} FROM shing), "
+        f"sig AS (SELECT doc_id, {', '.join(cols)} FROM hs) "
     )
 
 
