@@ -734,19 +734,44 @@ def q_fingerprint_sql():
     )
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _mh_params(n_hashes: int) -> list:
+    """Deterministic (a, b) constants for the universal permutation family
+    g_k(h) = (a_k*h + b_k) mod (2^61-1) — the datasketch/Broder shape:
+    ONE base hash per shingle, permuted per signature slot with cheap
+    integer arithmetic. Derived from md5 of the slot index so the Spark
+    plan and the DuckDB oracle embed bit-identical literals. a_k is kept
+    in [2^20, 2^30) (nonzero, large enough that the mod wraps — a
+    non-wrapping a would make every slot's argmin the base argmin and
+    collapse the bands); a_k*h + b_k < 2^62 + 2^30 stays inside signed
+    64-bit under ANSI mode."""
+    import hashlib
+
+    out = []
+    for k in range(1, n_hashes + 1):
+        d = hashlib.md5(f"xq-minhash-{k}".encode()).hexdigest()
+        a = (int(d[:8], 16) % ((1 << 30) - (1 << 20))) + (1 << 20)
+        b = int(d[8:16], 16) % (1 << 30)
+        out.append((a, b))
+    return out
+
+
 def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
-    """MinHash signatures over token 3-gram shingles (md5 hash family).
+    """MinHash signatures over token 3-gram shingles.
 
     In-row (r4): shingles stay an ARRAY column and each signature slot is
     ``array_min(transform(...))`` — the signature stage is a MAP-ONLY
     projection: no Generate (explode row stream), no Sort, no per-doc
     aggregation shuffle. At 100 TB every near-dup pass pays this stage,
     so removing its shuffle is the difference between one pass over the
-    tokens and a full explode+sort of the shingle stream. The hash family
-    is unchanged (4 independent 32-bit hashes per md5, 8 hex chars each;
-    hash k draws from md5(shingle '#' k//4) substring (k%4)*8); one md5
-    per shingle per 4-hash group, materialized once in an intermediate
-    projection so the four substring-mins share it."""
+    tokens and a full explode+sort of the shingle stream.
+
+    Hash family (r4): one md5 per shingle (first 8 hex chars -> 32-bit
+    base hash), then n_hashes universal permutations
+    (a_k*h + b_k) mod (2^61-1) — digest cost is constant in n_hashes
+    (the 16x4 LSH shape was paying 16 md5s per shingle before)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
     )
@@ -757,50 +782,36 @@ def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
             "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
         ).alias("sh"),
     )
-    n_groups = (n_hashes + 3) // 4
-    grp_cols = []
-    for g in range(n_groups):
-        base = "s" if g == 0 else f"concat(s, '#{g}')"
-        grp_cols.append(
-            F.expr(f"transform(sh, s -> md5(encode({base}, 'UTF-8')))").alias(
-                f"h{g}"
-            )
-        )
-    hashed = sh.select("doc_id", *grp_cols)
-    mh = []
-    for k in range(1, n_hashes + 1):
-        g = (k - 1) // 4
-        off = ((k - 1) % 4) * 8
-        mh.append(
-            F.expr(
-                f"array_min(transform(h{g}, x -> substring(x, {1 + off}, 8)))"
-            ).alias(f"mh{k}")
-        )
+    hashed = sh.select(
+        "doc_id",
+        F.expr(
+            "transform(sh, s -> cast(conv(substring(md5(encode(s, 'UTF-8')), 1, 8), 16, 10) as bigint))"
+        ).alias("h"),
+    )
+    mh = [
+        F.expr(
+            f"array_min(transform(h, x -> pmod({a}L * x + {b}L, {_MERSENNE61}L)))"
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(_mh_params(n_hashes), start=1)
+    ]
     return hashed.select("doc_id", *mh)
 
 
 def _minhash_sql_body(n_hashes: int = 4) -> str:
     """DuckDB twin of _minhash_sig for any n_hashes: same in-row
-    list_min(list_transform(...)) shape, same grouped-md5 + 8-hex-substring
-    family. Respects the known list_transform+range lateral quirk
+    list_min(list_transform(...)) shape, same base-hash + (a*h+b) mod p
+    family ('0x'||hex cast for the base hash; operands always positive so
+    %% == pmod). Respects the known list_transform+range lateral quirk
     (range(1, len-1) with 1-based list indexing)."""
-    n_groups = (n_hashes + 3) // 4
-    hcols = []
-    for g in range(n_groups):
-        base = "s" if g == 0 else f"s || '#{g}'"
-        hcols.append(f"list_transform(sh, s -> md5({base})) AS h{g}")
-    cols = []
-    for k in range(1, n_hashes + 1):
-        g = (k - 1) // 4
-        off = ((k - 1) % 4) * 8
-        cols.append(
-            f"list_min(list_transform(h{g}, x -> substr(x, {1 + off}, 8))) AS mh{k}"
-        )
+    cols = [
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MERSENNE61})) AS mh{k}"
+        for k, (a, b) in enumerate(_mh_params(n_hashes), start=1)
+    ]
     return (
         "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents), "
         "shing AS (SELECT doc_id, list_transform(range(1, len(t)-1), "
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh FROM toks WHERE len(t) >= 3), "
-        f"hs AS (SELECT doc_id, {', '.join(hcols)} FROM shing), "
+        "hs AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h FROM shing), "
         f"sig AS (SELECT doc_id, {', '.join(cols)} FROM hs) "
     )
 
@@ -843,9 +854,20 @@ def lsh_pairs(
     once the result is materialized.
     """
     sig = _minhash_sig(spark, sf_dir, n_hashes=n_bands * n_rows)
+    # '#' separator: mh values are variable-width decimals now, so plain
+    # concat would alias ("1","23") with ("12","3")
     band_exprs = [
         F.md5(
-            F.concat(*[F.col(f"mh{b * n_rows + r + 1}") for r in range(n_rows)])
+            F.encode(
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"mh{b * n_rows + r + 1}").cast("string")
+                        for r in range(n_rows)
+                    ],
+                ),
+                "UTF-8",
+            )
         )
         for b in range(n_bands)
     ]
@@ -886,7 +908,11 @@ def q_lsh_pairs(spark, sf_dir):
 
 def q_lsh_pairs_sql(n_bands: int = 2, n_rows: int = 2, band_cap: int = 64):
     band_list = ", ".join(
-        "md5(" + "||".join(f"mh{b * n_rows + r + 1}" for r in range(n_rows)) + ")"
+        "md5("
+        + " || '#' || ".join(
+            f"mh{b * n_rows + r + 1}::VARCHAR" for r in range(n_rows)
+        )
+        + ")"
         for b in range(n_bands)
     )
     return (
