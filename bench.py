@@ -139,12 +139,16 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
     try:
         _warm_python_workers(spark, cpus)
         # first-touch the input tables so the timed medians measure
-        # compute, not page-cache faults on the first query of the run
+        # compute, not page-cache faults on the first query of the run;
+        # skip tables absent from this sf dir (a docs+embeddings-only dir
+        # must not crash the bench before the first timed query)
         for t in ("documents", "embeddings", "orders", "lineitem",
                   "supplier", "nation", "events", "customer"):
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format(
-                "noop"
-            ).mode("overwrite").save()
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(path):
+                spark.read.parquet(path).write.format(
+                    "noop"
+                ).mode("overwrite").save()
         for name in headline:
             timed(
                 lambda n=name: QUERIES[n](spark, sf_dir)
@@ -174,9 +178,22 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
 
         timed(lsh_16x4, "lsh_pairs_16x4")
         # extraction throughput on a synthetic pages table at bench scale
-        ext = _extract_inproc(spark, rows=60000, warmed=True)
+        # (median-of-repeats, same protocol as the queries above)
+        ext = _extract_inproc(spark, rows=60000, warmed=True, repeats=repeats)
         timings["extract_60k_pages"] = ext["seconds"]
-        skew = skew_ratio(spark)
+        spreads["extract_60k_pages"] = ext["spread"]
+        # task_skew derives from its own repeated measurements too
+        # (VERDICT r3 #8: skew regressions must be adjudicable)
+        skews = [skew_ratio(spark) for _ in range(repeats)]
+        skew_vals = sorted(s["max_over_median_task_time"] for s in skews)
+        skew = {
+            "partitions": skews[0]["partitions"],
+            "max_over_median_task_time": skew_vals[len(skew_vals) // 2],
+            "spread": round(
+                (skew_vals[-1] - skew_vals[0]) / skew_vals[len(skew_vals) // 2], 3
+            ),
+        }
+        resume = _resume_bench(spark)
     finally:
         spark.stop()
     total = round(sum(timings.values()), 3)
@@ -192,6 +209,7 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
         "extract_docs_per_sec": ext["docs_per_sec"],
         "lsh_16x4_dropped_hot_bands": dropped[-1] if dropped else 0,
         "task_skew": skew,
+        "resume": resume,
     }
 
 
@@ -225,28 +243,80 @@ def _warm_python_workers(spark, cpus: int) -> None:
     )
 
 
-def _extract_inproc(spark, rows: int, warmed: bool = False) -> dict:
+def _extract_inproc(spark, rows: int, warmed: bool = False, repeats: int = 3) -> dict:
+    """MEDIAN-of-``repeats`` + spread — the same noise protocol as every
+    other headline query (VERDICT r3 #1: the single most-watched number
+    must carry its own error bar, not a best-of that can't be compared
+    run-to-run)."""
+    import statistics
+
     from xqspark.pipeline import extract_pages, lineage, synthesize_pages
 
     pages = synthesize_pages(spark, n_rows=rows, n_hosts=100).persist()
     n = pages.count()
     if not warmed:
         _warm_python_workers(spark, int(spark.sparkContext.defaultParallelism))
-    # best-of-3: this VM's first run carries JIT/codegen + throttle jitter
-    best = None
-    for _ in range(3):
+    runs = []
+    docs = None
+    for _ in range(repeats):
         t0 = time.perf_counter()
         extracted = extract_pages(
             pages, mode="xpath-single", query="//title", n_buckets=64
         )
         lin = lineage(extracted).collect()
-        seconds = time.perf_counter() - t0
-        if best is None or seconds < best[0]:
-            best = (seconds, lin)
-    seconds, lin = best
+        runs.append(time.perf_counter() - t0)
+        docs = int(sum(r["docs"] for r in lin))
+        assert docs == n, (docs, n)
     pages.unpersist()
-    docs = int(sum(r["docs"] for r in lin))
-    return {"docs": docs, "seconds": round(seconds, 3), "docs_per_sec": round(docs / seconds, 1)}
+    seconds = statistics.median(runs)
+    return {
+        "docs": docs,
+        "seconds": round(seconds, 3),
+        "spread": round((max(runs) - min(runs)) / seconds, 3),
+        "docs_per_sec": round(docs / seconds, 1),
+    }
+
+
+def _resume_bench(spark, rows: int = 20000, n_buckets: int = 64, kill_at: int = 40) -> dict:
+    """Induced-kill resume cost (the BASELINE.md contract note): wave 1
+    extracts only part_keys < ``kill_at`` — the state a job killed after
+    those partitions committed results+manifest leaves behind — then the
+    restart runs on the FULL input. Reports how much the restart replays
+    (must be only the unfinished partitions) and what the replay costs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xqspark.pipeline import run_with_resume, synthesize_pages, with_part_key
+
+    out = tempfile.mkdtemp(prefix="xq_bench_resume_")
+    try:
+        pages = synthesize_pages(spark, n_rows=rows, n_hosts=100)
+        total = pages.count()
+        committed = (
+            with_part_key(pages, n_buckets)
+            .filter(F.col("part_key") < kill_at)
+            .drop("part_key")
+        )
+        r1 = run_with_resume(
+            committed, out, mode="xpath-single", query="//title", n_buckets=n_buckets
+        )
+        t0 = time.perf_counter()
+        r2 = run_with_resume(
+            pages, out, mode="xpath-single", query="//title", n_buckets=n_buckets
+        )
+        resume_seconds = time.perf_counter() - t0
+        assert r2["processed"] == total - r1["processed"], (r1, r2, total)
+        return {
+            "total_rows": total,
+            "committed_rows_before_kill": r1["processed"],
+            "skipped_parts": r2["skipped_parts"],
+            "reprocessed_rows": r2["processed"],
+            "resume_seconds": round(resume_seconds, 3),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def skew_ratio(spark, rows: int = 20000) -> dict:

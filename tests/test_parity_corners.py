@@ -90,6 +90,46 @@ def test_go_quote(raw, quoted):
     assert go_quote(raw) == quoted
 
 
+def test_go_quote_fast_path_differential():
+    """go_quote's plain-ASCII regex fast path must agree with the
+    per-char Go-category loop on random unicode (r4 perf fix — the loop
+    was 81% of xml2json time on plain corpus text)."""
+    import random
+
+    from xqspark.core import textutil as t
+
+    def slow(s):
+        out = ['"']
+        for ch in s:
+            esc = t._QUOTE_ESCAPES.get(ch)
+            if esc is not None:
+                out.append(esc)
+                continue
+            if t._go_is_print(ch):
+                out.append(ch)
+                continue
+            cp = ord(ch)
+            if cp < 0x80:
+                out.append(f"\\x{cp:02x}")
+            elif cp < 0x10000:
+                out.append(f"\\u{cp:04x}")
+            else:
+                out.append(f"\\U{cp:08x}")
+        out.append('"')
+        return "".join(out)
+
+    rng = random.Random(7)
+    cases = ["", " ", "~", "!", "#", "[", "]", "\x7f", "del\x7fchar"]
+    for _ in range(3000):
+        top = 0x80 if rng.random() < 0.4 else (0x3000 if rng.random() < 0.7 else 0x10FFFF)
+        s = "".join(chr(rng.randint(0, top)) for _ in range(rng.randint(0, 24)))
+        if any(0xD800 <= ord(c) <= 0xDFFF for c in s):
+            continue
+        cases.append(s)
+    for s in cases:
+        assert go_quote(s) == slow(s), repr(s)
+
+
 def test_json_number_lexeme_preserved():
     assert format_json('{"a": 100.320, "b": 1e5}') == '{\n  "a": 100.320,\n  "b": 1e5\n}\n'
 

@@ -164,11 +164,19 @@ _QUOTE_ESCAPES = {
 }
 
 
+# printable ASCII minus '"' and '\\': every char Go's Quote passes
+# through verbatim — one C-level regex pass instead of a per-char
+# unicodedata.category call for the overwhelmingly common plain case
+_RE_QUOTE_PLAIN = re.compile(r'[ !#-\[\]-~]*\Z')
+
+
 def go_quote(s: str) -> str:
     """Go strconv.Quote — the string quoting used by FormatJson
     (utils.go:505,570). NOT standard JSON escaping: printable Unicode is
     kept raw, non-printables use Go escapes (\\x.., \\u...., \\U........).
     """
+    if _RE_QUOTE_PLAIN.match(s):
+        return '"' + s + '"'
     out = ['"']
     for ch in s:
         esc = _QUOTE_ESCAPES.get(ch)
