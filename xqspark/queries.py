@@ -303,16 +303,22 @@ def q_xpath_spans(spark, sf_dir):
     len(tok) + len('</w><w>'))."""
     from xqspark.udfs import make_xpath_spans_udf
 
+    # full-whitespace trim (F.trim strips spaces only): leading/trailing
+    # \n\t would otherwise create empty <w></w> tokens the oracle's
+    # regexp_extract_all never sees; rows with no \S at all are filtered
+    # on BOTH sides (ADVICE r3: Spark would build one empty node where
+    # the oracle yields zero tokens)
+    body = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
     html = F.concat(
         F.lit("<doc><w>"),
-        F.regexp_replace(F.trim(F.col("text")), r"\s+", "</w><w>"),
+        F.regexp_replace(body, r"\s+", "</w><w>"),
         F.lit("</w></doc>"),
     )
     udf = make_xpath_spans_udf("//w")
     spans = udf(html.cast("binary"))
     first = F.element_at(spans, 1)
     last = F.element_at(spans, -1)
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir).filter(F.col("text").rlike(r"\S")).select(
         "doc_id",
         F.size(spans).cast("long").alias("n_spans"),
         first["text"].alias("first_text"),
@@ -329,7 +335,7 @@ def q_xpath_spans_sql():
     # token's start = 8 + (sum of earlier token lengths) + 7*(n-1)
     return (
         "WITH t AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks "
-        "FROM documents) "
+        "FROM documents WHERE regexp_matches(text, '\\S')) "
         "SELECT doc_id, len(toks)::BIGINT AS n_spans, "
         "toks[1] AS first_text, 8 AS first_start, "
         "(8 + length(toks[1]))::INT AS first_end, "
@@ -388,6 +394,11 @@ def q_multimodal_pdf(spark, sf_dir):
     string escapes are pinned in tests/test_multimodal.py."""
     from xqspark.multimodal import extract_pdf_text, parse_pdf_meta
 
+    # PDF string syntax: '\', '(' and ')' must be backslash-escaped
+    # inside the (...) literal (ADVICE r3 — an unescaped paren would
+    # terminate the string early and break oracle parity); the decoder
+    # unescapes them back, so the oracle stays plain trim(text)
+    tj_text = F.regexp_replace(F.trim(F.col("text")), r"([\\()])", r"\\$1")
     pdf = F.concat(
         F.lit(
             "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
@@ -395,7 +406,7 @@ def q_multimodal_pdf(spark, sf_dir):
             "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
             "4 0 obj << /Length 0 >> stream\nBT /F1 12 Tf ("
         ),
-        F.trim(F.col("text")),
+        tj_text,
         F.lit(") Tj ET\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF"),
     ).cast("binary")
     blob = F.when(
@@ -1361,6 +1372,50 @@ def q_ann_ivf_lloyd_sql():
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@3 of the Lloyd-trained IVF search against brute-force
+    ground truth (VERDICT r3 #3): bucketed ANN's whole value proposition
+    at scale is recall-vs-cost, so a quantizer regression must move a
+    gated number. Per shared query (the 5 IVF queries): how many of the
+    true top-3 the bucketed search found. Both inputs are deterministic;
+    the oracle recomputes both sides in SQL and takes the same ratio."""
+    truth = (
+        q_ann_topk(spark, sf_dir)
+        .filter(F.col("query_id") < 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = q_ann_ivf_lloyd(spark, sf_dir).select("query_id", "neighbor_id")
+    matched = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = truth.select("query_id").distinct()
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return base.join(matched, "query_id", "left").select(
+        "query_id",
+        n_hit.cast("long").alias("n_hit"),
+        F.round(n_hit / F.lit(3.0), 4).alias("recall_at_3"),
+    )
+
+
+def q_ann_recall_sql():
+    return (
+        "WITH truth AS (SELECT query_id, neighbor_id FROM ("
+        + q_ann_topk_sql()
+        + ") WHERE query_id < 5), "
+        "approx AS (SELECT query_id, neighbor_id FROM ("
+        + q_ann_ivf_lloyd_sql()
+        + ")), "
+        "m AS (SELECT query_id, count(*) AS n_hit FROM truth "
+        "JOIN approx USING (query_id, neighbor_id) GROUP BY query_id) "
+        "SELECT q.query_id, coalesce(m.n_hit, 0)::BIGINT AS n_hit, "
+        "round(coalesce(m.n_hit, 0) / 3.0, 4) AS recall_at_3 "
+        "FROM (SELECT DISTINCT query_id FROM truth) q "
+        "LEFT JOIN m USING (query_id)"
+    )
+
+
 def embedding_neardup(
     spark,
     sf_dir,
@@ -2124,6 +2179,7 @@ QUERIES = {
     "ann_ivf_label": q_ann_ivf_label,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "ann_ivf_lloyd": q_ann_ivf_lloyd,
+    "ann_recall": q_ann_recall,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_audio": q_multimodal_audio,
@@ -2177,6 +2233,7 @@ ORACLES = {
     "ann_ivf_label": q_ann_ivf_label_sql(),
     "ann_ivf_kmeans": q_ann_ivf_kmeans_sql(),
     "ann_ivf_lloyd": q_ann_ivf_lloyd_sql(),
+    "ann_recall": q_ann_recall_sql(),
     "embedding_neardup": q_embedding_neardup_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
     "multimodal_audio": q_multimodal_audio_sql(),
