@@ -339,6 +339,15 @@ def test_fused_html_tree_differential():
         '<h1><b>x</b></h1><h2>', '<p a="">', '<div a="1" a="2">',
         '<table><thead><tr><th>h', '<table><tr><td><i>x</i></td><td><i>y',
         '<table><colgroup><col></colgroup><tr><td>c',
+        # r4 foster-text fast path: pure text in table context
+        '<table>stray<tr><td>y', '<table><tr>in-row-text<td>c',
+        '<table><tbody>mid-tbody</tbody></table>',
+        '<table>a<td>b</td>c</table>', 'before<table>x</table>after',
+        '<table>one<tr>two<td>cell</td>three</tr>four</table>',
+        '<table>x<!--c--><tr><td>y', '<table>t1</table><table>t2</table>',
+        '<table><tr><td><table>inner-loose</table>',
+        '<div>pre<table>fost</table>post</div>',
+        '<table>&amp;ent<tr><td>e',
     ]
     n_fast = n_fallback = 0
     for _ in range(3500):

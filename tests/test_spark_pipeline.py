@@ -152,6 +152,42 @@ def test_multi_mb_page_arrow_batching(spark):
     assert all(r["error"] is None for r in got)
 
 
+def test_multi_mb_pages_bounded_worker_memory(spark):
+    """VERDICT r3 #7: ~6 MB pages through the real extraction path with
+    BOUNDED per-worker memory. Spark 4's arrow maxBytesPerBatch (64 MB
+    default) slices Arrow batches by BYTES, so the 512-row record cap
+    cannot materialize 512 x 6 MB at once; the RSS probe rides the same
+    reused worker pool (spark.python.worker.reuse) that extracted the
+    big pages, so ru_maxrss reflects the extraction peak."""
+    import resource
+
+    big = b"<doc>" + b'<row a="1"><v>tok</v></row>' * 230000 + b"</doc>"
+    assert len(big) > 5_000_000  # ~6.2 MB
+    rows = [(f"http://h{i % 4}.example/p{i}", None, big, "", "en") for i in range(12)]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    got = extract_pages(df, mode="xpath", query="count(//row)").collect()
+    assert len(got) == 12
+    assert all(r["error"] is None for r in got)
+    assert all(r["extracted"].strip() == "230000" for r in got)
+    assert all(r["n_bytes"] == len(big) for r in got)
+
+    def rss(batches):
+        import pandas as pd
+
+        peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on Linux
+        for _ in batches:
+            pass
+        yield pd.DataFrame({"rss_kb": [peak]})
+
+    peaks = [
+        r["rss_kb"]
+        for r in spark.range(64).repartition(8).mapInPandas(rss, "rss_kb long").collect()
+    ]
+    # an unbounded 512-row batch of 6 MB pages would be ~3 GB before
+    # pandas conversion doubled it; the byte-capped path stays far under
+    assert max(peaks) < 2_000_000, peaks
+
+
 def test_extraction_modes_dispatch(spark):
     payload = b"<html><body><p class='x'>hi</p></body></html>"
     df = spark.createDataFrame([("u", None, payload, "", "en")], PAGES_SCHEMA)

@@ -1109,7 +1109,31 @@ def _parse_html_fast(s: str) -> DomNode:
                 open_body()
             cur = stack[-1]
             if cur.data in _TABLE_CTX and t.strip(" \t\n\f\r") != "":
-                raise _TreeFallback  # character data fosters out of tables
+                # narrow foster-parenting fast path (r4): PURE TEXT sitting
+                # directly in table context — the single most common crawl
+                # malformation — relocates immediately before the last open
+                # <table>, merging with a text node already there (general
+                # _foster_text semantics). The final dirty re-walk restores
+                # document order (the general builder numbers by a final
+                # walk too). Start tags that would foster still bail.
+                tbl = None
+                for nd in reversed(stack):
+                    if nd.data == "table":
+                        tbl = nd
+                        break
+                if tbl is None or tbl.parent is None:
+                    raise _TreeFallback
+                fch = tbl.parent.children
+                fidx = fch.index(tbl)
+                if fidx > 0 and fch[fidx - 1].type == TEXT:
+                    fch[fidx - 1].data += t
+                else:
+                    node = new_node(TEXT, t, order)
+                    order += 1
+                    node.parent = tbl.parent
+                    fch.insert(fidx, node)
+                    dirty = True
+                continue
             ch = cur.children
             if ch:
                 last = ch[-1]
