@@ -2075,68 +2075,88 @@ def q_simhash(spark, sf_dir):
     (('0x'||substr(md5,..))::INT), giving this op a hard oracle.
     Repeated tokens vote repeatedly (frequency weighting); docs whose
     trimmed text has no tokens drop out on both sides."""
+    # In-row (r4): tokens stay an array, the per-doc bit-vote sums are
+    # aggregate() higher-order calls over it — the whole op is a MAP-ONLY
+    # projection (no explode, no groupBy(doc_id) shuffle of the widened
+    # token stream). At 100 TB simhash costs one pass over the text.
+    # Vote sums stay plain bit sums: the +1/-1 total is positive iff
+    # 2*sum(bit) > n_tokens.
     docs = (
         _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .withColumn("t", F.expr("filter(t, x -> x != '')"))
+        .filter(F.size("t") >= 1)
     )
-    h = F.md5("tok")
     hashed = docs.select(
         "doc_id",
+        F.size("t").alias("n"),
+        F.expr("transform(t, tok -> md5(encode(tok, 'UTF-8')))").alias("hs"),
+    )
+    words = hashed.select(
+        "doc_id",
+        "n",
         *[
-            F.conv(F.substring(h, 1 + 4 * w, 4), 16, 10)
-            .cast("int")
-            .alias(f"w{w}")
+            F.expr(
+                f"transform(hs, m -> cast(conv(substring(m, {1 + 4 * w}, 4), 16, 10) as int))"
+            ).alias(f"ws{w}")
             for w in range(4)
         ],
     )
-    # vote sums as plain bit sums (no CASE in the aggregate): the +1/-1
-    # vote total is positive iff 2*sum(bit) > n_tokens
-    aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [
-        F.sum(F.shiftright(f"w{w}", b).bitwiseAND(F.lit(1))).alias(f"s{w}_{b}")
-        for w in range(4)
-        for b in range(16)
-    ]
-    agg = hashed.groupBy("doc_id").agg(*aggs)
+    # one aggregate per word with a 16-counter ARRAY accumulator (measured
+    # 2x faster than 16 separate per-bit aggregate passes: the md5/array
+    # work is shared, not re-traversed per bit)
+    votes = words.select(
+        "doc_id",
+        "n",
+        *[
+            F.expr(
+                f"aggregate(ws{w}, array_repeat(0L, 16), (acc, x) -> "
+                f"zip_with(acc, transform(sequence(0, 15), b -> "
+                f"cast(shiftright(x, b) & 1 as bigint)), (a, v) -> a + v))"
+            ).alias(f"sv{w}")
+            for w in range(4)
+        ],
+    )
     outs = []
     for w in range(4):
         word = None
         for b in range(16):
             bit = F.when(
-                F.col(f"s{w}_{b}") * 2 > F.col("n"), F.lit(1 << b)
+                F.expr(f"2 * element_at(sv{w}, {b + 1})") > F.col("n"),
+                F.lit(1 << b),
             ).otherwise(F.lit(0))
             word = bit if word is None else word + bit
         outs.append(word.cast("long").alias(f"simhash_w{w}"))
-    return agg.select("doc_id", *outs)
+    return votes.select("doc_id", *outs)
 
 
 def q_simhash_sql():
+    # same in-row list shape as the Spark plan: one md5 per token, bit
+    # sums via list_sum(list_transform(...)), majority = 2*sum > n
     words = ", ".join(
-        f"('0x'||substr(m,{1 + 4 * w},4))::INT AS w{w}" for w in range(4)
+        f"list_transform(hs, m -> ('0x'||substr(m,{1 + 4 * w},4))::INT) AS ws{w}"
+        for w in range(4)
     )
     votes = ", ".join(
-        f"sum(CASE WHEN (w{w} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{w}_{b}"
+        f"list_sum(list_transform(ws{w}, x -> (x >> {b}) & 1)) AS s{w}_{b}"
         for w in range(4)
         for b in range(16)
     )
     packs = ", ".join(
         "("
         + " + ".join(
-            f"CASE WHEN v{w}_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+            f"CASE WHEN 2*s{w}_{b} > n THEN {1 << b} ELSE 0 END" for b in range(16)
         )
         + f")::BIGINT AS simhash_w{w}"
         for w in range(4)
     )
     return (
-        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(trim(text), "
-        "'\\S+')) AS tok FROM documents), "
-        "h AS (SELECT doc_id, md5(tok) AS m FROM toks), "
-        f"wrds AS (SELECT doc_id, {words} FROM h), "
-        f"v AS (SELECT doc_id, {votes} FROM wrds GROUP BY doc_id) "
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t "
+        "FROM documents), "
+        "h AS (SELECT doc_id, len(t) AS n, list_transform(t, tok -> md5(tok)) AS hs "
+        "FROM toks WHERE len(t) >= 1), "
+        f"wrds AS (SELECT doc_id, n, {words} FROM h), "
+        f"v AS (SELECT doc_id, n, {votes} FROM wrds) "
         f"SELECT doc_id, {packs} FROM v"
     )
 
