@@ -348,6 +348,12 @@ def test_fused_html_tree_differential():
         '<table><tr><td><table>inner-loose</table>',
         '<div>pre<table>fost</table>post</div>',
         '<table>&amp;ent<tr><td>e',
+        # r4 foster-void fast path
+        '<table><img src="i.png"><tr><td>x', '<table><tr><br><td>c',
+        '<table><input>', '<table><tr><td>a</td></tr><wbr></table>',
+        '<table><hr><tr><td>h', '<table><tbody><img></tbody>z</table>',
+        '<p><table><br></table>', '<b><table><img></table></b>',
+        '<table>mix<br>text<tr><td>y', '<table><meta charset="u"><td>m',
     ]
     n_fast = n_fallback = 0
     for _ in range(3500):

@@ -1441,7 +1441,31 @@ def _parse_html_fast(s: str) -> DomNode:
                 if cur.data in _TABLE_CTX and name not in _ALLOWED_IN_TABLE_CTX.get(
                     cur.data, ()
                 ):
-                    raise _TreeFallback  # would foster-parent
+                    if push:
+                        # a pushed element nesting across the table
+                        # boundary (formatting reconstruction, later end
+                        # tags) is the hard case — general builder
+                        raise _TreeFallback
+                    # narrow foster fast path (r4): VOID elements
+                    # (img/br/input/hr/wbr/...) relocate before the last
+                    # open <table> with NO stack or afe effect — the
+                    # auto-close side effects above already ran with
+                    # general-path parity, so only the insertion point
+                    # differs; dirty re-walk restores document order
+                    tbl = None
+                    for nd in reversed(stack):
+                        if nd.data == "table":
+                            tbl = nd
+                            break
+                    if tbl is None or tbl.parent is None:
+                        raise _TreeFallback
+                    element.order = order
+                    order += 1
+                    fch = tbl.parent.children
+                    element.parent = tbl.parent
+                    fch.insert(fch.index(tbl), element)
+                    dirty = True
+                    continue
                 element.order = order
                 order += 1
                 element.parent = cur
