@@ -354,6 +354,18 @@ def test_fused_html_tree_differential():
         '<table><hr><tr><td>h', '<table><tbody><img></tbody>z</table>',
         '<p><table><br></table>', '<b><table><img></table></b>',
         '<table>mix<br>text<tr><td>y', '<table><meta charset="u"><td>m',
+        # r4 foster-PUSHED fast path (div/span/p/form/fmt/raw in table ctx)
+        '<table><div>in-div</div><tr><td>x', '<table><span>s</span></table>',
+        '<table><div><tr><td>clears-div', '<table><p>par<tr><td>p',
+        '<table><div>open-div</table>after', '<table><b>fmt</b><tr><td>f',
+        '<table><b>unclosed<tr><td>f', '<table><form><input></form><td>fo',
+        '<table><script>var x=1;</script><tr><td>s',
+        '<table><textarea>tx</textarea><td>t', '<table><title>ti</title>',
+        '<table><div>a<div>b</div>c</div><td>nested',
+        '<table><tbody><div>d</div><tr><td>tb',
+        '<table><tr><div>rowdiv</div><td>rd',
+        '<table><ul><li>item</ul><tr><td>u', '<table><select><option>o',
+        '<table><h2>head</h2><td>h', '<div><table><div>both</div></table></div>',
     ]
     n_fast = n_fallback = 0
     for _ in range(3500):

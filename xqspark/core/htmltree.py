@@ -1438,20 +1438,24 @@ def _parse_html_fast(s: str) -> DomNode:
                     ):
                         stack.pop()
                 cur = stack[-1]
+                element.order = order
+                order += 1
                 if cur.data in _TABLE_CTX and name not in _ALLOWED_IN_TABLE_CTX.get(
                     cur.data, ()
                 ):
-                    if push:
-                        # a pushed element nesting across the table
-                        # boundary (formatting reconstruction, later end
-                        # tags) is the hard case — general builder
-                        raise _TreeFallback
-                    # narrow foster fast path (r4): VOID elements
-                    # (img/br/input/hr/wbr/...) relocate before the last
-                    # open <table> with NO stack or afe effect — the
-                    # auto-close side effects above already ran with
-                    # general-path parity, so only the insertion point
-                    # differs; dirty re-walk restores document order
+                    # foster-parenting fast path (r4): the element — void
+                    # OR pushed (div/span/p/form/raw/formatting) —
+                    # relocates before the last open <table>, mirroring
+                    # general _insert_element -> _foster_insert exactly.
+                    # Pushed elements still join the stack (and afe when
+                    # formatting), so later content nests inside the
+                    # fostered subtree like the general path; auto-close
+                    # side effects already ran above with parity; the
+                    # dirty re-walk restores document order; an implied
+                    # pop that would strand an afe entry still bails via
+                    # pop_slice/check_popped; raw/RCDATA swallow below
+                    # targets `element` directly, so a fostered <script>
+                    # keeps its content.
                     tbl = None
                     for nd in reversed(stack):
                         if nd.data == "table":
@@ -1459,17 +1463,13 @@ def _parse_html_fast(s: str) -> DomNode:
                             break
                     if tbl is None or tbl.parent is None:
                         raise _TreeFallback
-                    element.order = order
-                    order += 1
                     fch = tbl.parent.children
                     element.parent = tbl.parent
                     fch.insert(fch.index(tbl), element)
                     dirty = True
-                    continue
-                element.order = order
-                order += 1
-                element.parent = cur
-                cur.children.append(element)
+                else:
+                    element.parent = cur
+                    cur.children.append(element)
                 if push:
                     stack.append(element)
                     if flags & _F_FMT:
