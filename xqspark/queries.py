@@ -1372,6 +1372,105 @@ def q_ann_ivf_lloyd_sql():
     )
 
 
+def _doc_lines(spark, sf_dir):
+    """(doc_id, lines) with deterministic line structure: a nav
+    boilerplate line shared by doc_id%5, 10-token content lines from the
+    text, and a footer shared by doc_id%3 — the corpus has no newlines,
+    so the line structure is constructed JVM-side (both engines build
+    the identical lines)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .withColumn("t", F.expr("filter(t, x -> x != '')"))
+        .filter(F.size("t") >= 1)
+    )
+    nav = F.concat(
+        F.lit("nav menu home about contact site "),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+    )
+    footer = F.concat(
+        F.lit("copyright footer legal terms "),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+    )
+    content = F.expr(
+        "transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1), "
+        "i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))"
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.array(nav), content, F.array(footer)).alias("lines"),
+    )
+
+
+def line_dedup(spark, sf_dir, k: int = 32, hot_cap: int = 256):
+    """C4-style corpus-level LINE deduplication: drop every line that
+    occurs more than ``k`` times across the corpus (boilerplate nav/
+    footer/cookie banners), keep unique content. Scale shape: the only
+    full shuffle carries (md5(line), partial count) — map-side combined;
+    the hot set (bounded by total_lines/k, then capped deterministically
+    at ``hot_cap`` by count desc, hash asc) becomes PLAN LITERALS for a
+    map-only filter over the in-row line array, so document text never
+    moves — the same driver-fetch-of-training-state pattern as the IVF
+    centroids (queries.py:_seed_centroids). For hot sets too large to
+    inline at extreme scale, the fallback is a broadcast semi-join per
+    line + regroup (costs a text shuffle); the capped inline path is the
+    one this catalog ships because real boilerplate vocabularies are
+    small."""
+    lines_df = _doc_lines(spark, sf_dir)
+    counts = (
+        lines_df.select(F.explode("lines").alias("line"))
+        .select(F.md5(F.encode("line", "UTF-8")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > k)
+        .orderBy(F.desc("c"), F.asc("h"))
+        .limit(hot_cap)
+    )
+    hot = [r["h"] for r in counts.collect()]
+    out = lines_df.select(
+        "doc_id", F.size("lines").cast("long").alias("n_lines"), "lines"
+    )
+    if hot:
+        hot_lit = "array(" + ", ".join(f"'{h}'" for h in hot) + ")"
+        clean = F.expr(
+            f"filter(lines, x -> NOT array_contains({hot_lit}, "
+            "md5(encode(x, 'UTF-8'))))"
+        )
+    else:
+        clean = F.col("lines")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.size(clean)).cast("long").alias("n_dropped"),
+        F.md5(F.encode(F.concat_ws("\n", clean), "UTF-8")).alias("clean_fp"),
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    return line_dedup(spark, sf_dir)
+
+
+def q_line_dedup_sql(k: int = 32, hot_cap: int = 256):
+    return (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t "
+        "FROM documents WHERE len(regexp_extract_all(trim(text), '\\S+')) >= 1), "
+        "lns AS (SELECT doc_id, "
+        "['nav menu home about contact site ' || (doc_id % 5)::VARCHAR] || "
+        "list_transform(range(0, ceil(len(t) / 10.0)::INT), "
+        "i -> array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ')) || "
+        "['copyright footer legal terms ' || (doc_id % 3)::VARCHAR] AS lines FROM t), "
+        "ex AS (SELECT unnest(lines) AS line FROM lns), "
+        "cnt AS (SELECT md5(line) AS h, count(*) AS c FROM ex GROUP BY 1), "
+        f"hot AS (SELECT h FROM cnt WHERE c > {k} ORDER BY c DESC, h ASC LIMIT {hot_cap}), "
+        "hotl AS (SELECT coalesce(list(h), []) AS hl FROM hot), "
+        "cl AS (SELECT doc_id, len(lines)::BIGINT AS n_lines, "
+        "list_filter(lines, x -> NOT list_contains(hl, md5(x))) AS clean "
+        "FROM lns, hotl) "
+        "SELECT doc_id, n_lines, (n_lines - len(clean))::BIGINT AS n_dropped, "
+        "md5(array_to_string(clean, chr(10))) AS clean_fp FROM cl"
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@3 of the Lloyd-trained IVF search against brute-force
     ground truth (VERDICT r3 #3): bucketed ANN's whole value proposition
@@ -2193,6 +2292,7 @@ QUERIES = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "ann_ivf_lloyd": q_ann_ivf_lloyd,
     "ann_recall": q_ann_recall,
+    "line_dedup": q_line_dedup,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_audio": q_multimodal_audio,
@@ -2247,6 +2347,7 @@ ORACLES = {
     "ann_ivf_kmeans": q_ann_ivf_kmeans_sql(),
     "ann_ivf_lloyd": q_ann_ivf_lloyd_sql(),
     "ann_recall": q_ann_recall_sql(),
+    "line_dedup": q_line_dedup_sql(),
     "embedding_neardup": q_embedding_neardup_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
     "multimodal_audio": q_multimodal_audio_sql(),
