@@ -204,6 +204,54 @@ def test_line_dedup_clean_pass_is_map_only(spark):
     assert nothing_hot.agg(F.sum("n_dropped")).collect()[0][0] == 0
 
 
+def test_winnow_fp_is_map_only_and_detects_shared_passages(spark):
+    """winnow_fp's two claims: (1) map-only plan — zero Exchange/Generate
+    at any scale; (2) the winnowing guarantee — two docs sharing any
+    passage of >= w+k-1 (=6) tokens select at least one common
+    fingerprint, even when everything else differs."""
+    import tempfile
+
+    from xqspark.queries import winnow_fp
+
+    plan = plan_of(winnow_fp(spark, SF_DIR))
+    assert "Exchange" not in plan and "Generate" not in plan, plan[:1500]
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    rows = [
+        (0, f"one two three {shared} four five six", "s"),
+        (1, f"seven eight nine ten {shared} eleven", "s"),
+        (2, "totally different words with no overlap here at all", "s"),
+    ]
+    d = tempfile.mkdtemp(prefix="xq_winnow_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{d}/documents.parquet")
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(t) - 3), i -> "
+                "cast(conv(substring(md5(encode(concat(t[i], ' ', t[i + 1], ' ', t[i + 2]), "
+                "'UTF-8')), 1, 8), 16, 10) as bigint))"
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(h) - 4), "
+                "j -> array_min(slice(h, j + 1, 4))))"
+            ).alias("fps"),
+        )
+    )
+    sets = {r["doc_id"]: set(r["fps"]) for r in docs.collect()}
+    assert sets[0] & sets[1], "shared 6-token passage must share a fingerprint"
+    assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+
+
 def test_minhash_signature_is_map_only_projection(spark):
     """VERDICT r3 #2: signatures are in-row higher-order functions —
     no Generate (shingle explode), no Sort/HashAggregate (per-doc min),

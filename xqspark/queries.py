@@ -1471,6 +1471,70 @@ def q_line_dedup_sql(k: int = 32, hot_cap: int = 256):
     )
 
 
+def winnow_fp(spark, sf_dir, k: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-gram, slide a w-hash window, keep
+    each window's MINIMUM — the selected fingerprint set is guaranteed
+    to share a hash with any copy of length >= w+k-1 tokens, which makes
+    it the standard local-copy / plagiarism detector for text corpora
+    (minhash estimates global similarity; winnowing localizes shared
+    passages). Entirely IN-ROW: k-gram hashes, window minima, and the
+    distinct-set stats are higher-order functions over the token array —
+    a map-only projection, zero shuffle at any scale. Output per doc:
+    fingerprint count, min fingerprint, and an order-insensitive XOR
+    checksum of the distinct set (joinable/comparable downstream)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .withColumn("t", F.expr("filter(t, x -> x != '')"))
+        .filter(F.size("t") >= k + w - 1)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(t) - {k}), i -> "
+            "cast(conv(substring(md5(encode("
+            + "concat("
+            + ", ' ', ".join(f"t[i + {j}]" for j in range(k))
+            + ")"
+            + ", 'UTF-8')), 1, 8), 16, 10) as bigint))"
+        ).alias("h"),
+    )
+    fps = grams.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(h) - {w}), "
+            f"j -> array_min(slice(h, j + 1, {w}))))"
+        ).alias("fps"),
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("fp_min"),
+        F.expr("aggregate(fps, 0L, (a, x) -> a ^ x)").alias("fp_xor"),
+    )
+
+
+def q_winnow_fp(spark, sf_dir):
+    return winnow_fp(spark, sf_dir)
+
+
+def q_winnow_fp_sql(k: int = 3, w: int = 4):
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t "
+        f"FROM documents WHERE len(regexp_extract_all(trim(text), '\\S+')) >= {k + w - 1}), "
+        "grams AS (SELECT doc_id, "
+        f"list_transform(range(1, len(t) - {k - 2}), i -> "
+        f"('0x' || substr(md5({gram}), 1, 8))::BIGINT) AS h FROM toks), "
+        "fps AS (SELECT doc_id, list_distinct("
+        f"list_transform(range(1, len(h) - {w - 2}), "
+        f"j -> list_min(list_slice(h, j, j + {w - 1})))) AS fps FROM grams) "
+        "SELECT doc_id, len(fps)::BIGINT AS n_fps, list_min(fps) AS fp_min, "
+        "list_reduce(fps, (a, x) -> xor(a, x)) AS fp_xor FROM fps"
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@3 of the Lloyd-trained IVF search against brute-force
     ground truth (VERDICT r3 #3): bucketed ANN's whole value proposition
@@ -2293,6 +2357,7 @@ QUERIES = {
     "ann_ivf_lloyd": q_ann_ivf_lloyd,
     "ann_recall": q_ann_recall,
     "line_dedup": q_line_dedup,
+    "winnow_fp": q_winnow_fp,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_audio": q_multimodal_audio,
@@ -2348,6 +2413,7 @@ ORACLES = {
     "ann_ivf_lloyd": q_ann_ivf_lloyd_sql(),
     "ann_recall": q_ann_recall_sql(),
     "line_dedup": q_line_dedup_sql(),
+    "winnow_fp": q_winnow_fp_sql(),
     "embedding_neardup": q_embedding_neardup_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
     "multimodal_audio": q_multimodal_audio_sql(),
