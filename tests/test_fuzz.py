@@ -366,6 +366,16 @@ def test_fused_html_tree_differential():
         '<table><tr><div>rowdiv</div><td>rd',
         '<table><ul><li>item</ul><tr><td>u', '<table><select><option>o',
         '<table><h2>head</h2><td>h', '<div><table><div>both</div></table></div>',
+        # r4 bail-class recoveries: marker elts in tables, </br>/</p>
+        # foster, NUL strip, script <!-- without nested opener, <!x bogus
+        '<table><applet>a</applet><td>z', '<table><marquee>m</marquee></table>',
+        '<table><object a="o">o</object><tr><td>q', '<table></br><td>x',
+        '<table></p><td>y', '<td></p>cell', 'nul\x00mid', '\x00\x00',
+        'pre&#0;post', '<script><!-- plain --></script>',
+        '<script><!-- <b>not-opener</b> --></script>x',
+        '<script><!-- <script>nested</script> -->tail</script>',
+        '<!x bogus>', '<!doctypo y>', '<! >', '<div><!junk>t</div>',
+        '<!no-close', '<!x\x00y>',
     ]
     n_fast = n_fallback = 0
     for _ in range(3500):

@@ -995,6 +995,23 @@ def _parse_html_fast(s: str) -> DomNode:
             node.parent = parent
             ch.append(node)
 
+    def foster_before_table(node) -> bool:
+        """general _foster_insert: place node immediately before the last
+        open <table>; False (caller bails) when no fosterable table."""
+        nonlocal dirty
+        tbl = None
+        for nd in reversed(stack):
+            if nd.data == "table":
+                tbl = nd
+                break
+        if tbl is None or tbl.parent is None:
+            return False
+        fch = tbl.parent.children
+        node.parent = tbl.parent
+        fch.insert(fch.index(tbl), node)
+        dirty = True
+        return True
+
     def ensure_html() -> None:
         nonlocal html, order
         if html is None:
@@ -1084,14 +1101,16 @@ def _parse_html_fast(s: str) -> DomNode:
         if lt != start:
             t = s[start:n] if lt == -1 else s[start:lt]
             pos = n if lt == -1 else lt
-            if "\x00" in t:
-                raise _TreeFallback
             if "\r" in t:
                 t = t.replace("\r\n", "\n").replace("\r", "\n")
             if "&" in t:
                 t = unescape(t)
-                if "\x00" in t:
-                    raise _TreeFallback
+            if "\x00" in t:
+                # general _text: NULs in non-raw text (literal or via
+                # &#0;) are stripped before any routing; empty -> no token
+                t = t.replace("\x00", "")
+                if not t:
+                    continue
             if body is None:
                 cur = stack[-1] if stack else doc
                 if cur is not html and cur is not doc and cur is not head:
@@ -1109,13 +1128,13 @@ def _parse_html_fast(s: str) -> DomNode:
                 open_body()
             cur = stack[-1]
             if cur.data in _TABLE_CTX and t.strip(" \t\n\f\r") != "":
-                # narrow foster-parenting fast path (r4): PURE TEXT sitting
+                # foster-parenting fast path (r4): PURE TEXT sitting
                 # directly in table context — the single most common crawl
                 # malformation — relocates immediately before the last open
                 # <table>, merging with a text node already there (general
                 # _foster_text semantics). The final dirty re-walk restores
                 # document order (the general builder numbers by a final
-                # walk too). Start tags that would foster still bail.
+                # walk too).
                 tbl = None
                 for nd in reversed(stack):
                     if nd.data == "table":
@@ -1367,16 +1386,19 @@ def _parse_html_fast(s: str) -> DomNode:
                 if flags & _F_MARKERELT:
                     # applet/marquee/object: insert + push a formatting
                     # MARKER (reconstruction is a no-op under the
-                    # invariant; their pops run through pop_slice)
+                    # invariant; their pops run through pop_slice); in
+                    # table context they foster like any other element
                     cur = stack[-1]
+                    element.order = order
+                    order += 1
                     if cur.data in _TABLE_CTX and name not in _ALLOWED_IN_TABLE_CTX.get(
                         cur.data, ()
                     ):
-                        raise _TreeFallback  # would foster-parent
-                    element.order = order
-                    order += 1
-                    element.parent = cur
-                    cur.children.append(element)
+                        if not foster_before_table(element):
+                            raise _TreeFallback
+                    else:
+                        element.parent = cur
+                        cur.children.append(element)
                     stack.append(element)
                     afe.append(_MARKER)
                     continue
@@ -1456,17 +1478,8 @@ def _parse_html_fast(s: str) -> DomNode:
                     # pop_slice/check_popped; raw/RCDATA swallow below
                     # targets `element` directly, so a fostered <script>
                     # keeps its content.
-                    tbl = None
-                    for nd in reversed(stack):
-                        if nd.data == "table":
-                            tbl = nd
-                            break
-                    if tbl is None or tbl.parent is None:
+                    if not foster_before_table(element):
                         raise _TreeFallback
-                    fch = tbl.parent.children
-                    element.parent = tbl.parent
-                    fch.insert(fch.index(tbl), element)
-                    dirty = True
                 else:
                     element.parent = cur
                     cur.children.append(element)
@@ -1487,7 +1500,15 @@ def _parse_html_fast(s: str) -> DomNode:
                         close = _find_ci(s, "</script", close + 1)
                     span_end = n if close == -1 else close
                     if "<!--" in s[pos:span_end]:
-                        raise _TreeFallback  # escape states: general path
+                        # script escape states matter only when a nested
+                        # "<script" occurs (double-escaped state makes a
+                        # later </script> NOT close); with no nested
+                        # opener, </script> closes in every state and the
+                        # naive span is exact. Conservative: any nested
+                        # opener alongside <!-- -> general path.
+                        nested = _find_ci(s, "<script", pos)
+                        if nested != -1 and nested < span_end:
+                            raise _TreeFallback
                 else:
                     needle = "</" + name
                     ln = len(needle)
@@ -1565,16 +1586,18 @@ def _parse_html_fast(s: str) -> DomNode:
                     continue  # ignored
             if name == "br":
                 # WHATWG: </br> acts as <br> (reconstruction is a no-op
-                # under the fast-path invariant)
+                # under the fast-path invariant); fosters in table ctx
                 if body is None:
                     open_body()
                 cur = stack[-1]
-                if cur.data in _TABLE_CTX:
-                    raise _TreeFallback  # the br would foster-parent
                 node = new_node(ELEMENT, "br", order)
                 order += 1
-                node.parent = cur
-                cur.children.append(node)
+                if cur.data in _TABLE_CTX:
+                    if not foster_before_table(node):
+                        raise _TreeFallback
+                else:
+                    node.parent = cur
+                    cur.children.append(node)
                 continue
             if name == "form":
                 # clear the pointer, then remove JUST the form node from
@@ -1611,15 +1634,18 @@ def _parse_html_fast(s: str) -> DomNode:
                     node = None
                 if node is None or node.data != "p":
                     # no p in button scope: synthesize an empty <p>
+                    # (fosters in table ctx like any element insert)
                     if body is None:
                         open_body()
                     cur = stack[-1]
-                    if cur.data in _TABLE_CTX:
-                        raise _TreeFallback  # synthesized p would foster
                     p = DomNode(ELEMENT, "p")
                     p.order = order
                     order += 1
-                    cur.append(p)
+                    if cur.data in _TABLE_CTX:
+                        if not foster_before_table(p):
+                            raise _TreeFallback
+                    else:
+                        cur.append(p)
                 continue
             if flags & (_F_TBLEND | _F_MARKERELT):
                 # pop-through-to-match within scope (table scope for
@@ -1699,7 +1725,24 @@ def _parse_html_fast(s: str) -> DomNode:
                 if html is None:  # late doctypes are ignored
                     quirks = False
                 continue
-            raise _TreeFallback  # <!x bogus comment: general path
+            # <!x bogus comment (htmltok._read_bogus_comment data_from=2):
+            # data runs from after "<!" to the next '>' (or EOF)
+            end = s.find(">", pos)
+            if end == -1:
+                data = s[pos + 2 : n]
+                pos = n
+            else:
+                data = s[pos + 2 : end]
+                pos = end + 1
+            if "\r" in data:
+                data = data.replace("\r\n", "\n").replace("\r", "\n")
+            if "\x00" in data:
+                data = data.replace("\x00", "�")
+            node = DomNode(COMMENT, data)
+            node.order = order
+            order += 1
+            (stack[-1] if stack else doc).append(node)
+            continue
         # c == "?": bogus comment reconsuming the '?' (WHATWG) — this is
         # how XHTML-served-as-HTML prologs (<?xml ...?>) arrive, so the
         # fast path keeps them: data runs from the '?' to the next '>'
