@@ -376,6 +376,10 @@ def test_fused_html_tree_differential():
         '<script><!-- <script>nested</script> -->tail</script>',
         '<!x bogus>', '<!doctypo y>', '<! >', '<div><!junk>t</div>',
         '<!no-close', '<!x\x00y>',
+        # r4: plaintext (raw-to-EOF) + safe nobr (none open in scope)
+        '<plaintext>rest <b>raw</b> &amp; x', '<p>x<plaintext>y</plaintext>z',
+        '<plaintext>', '<nobr>n</nobr>', '<nobr>a<b>c</b></nobr>',
+        '<table><plaintext>pt', '<div><nobr>solo</nobr></div>',
     ]
     n_fast = n_fallback = 0
     for _ in range(3500):

@@ -905,9 +905,7 @@ _F_TBL = 512       # table STRUCTURE start tags (td/tr/tbody/... not table)
 _F_TBLEND = 1024   # table-scoped end tags (incl. table itself)
 _F_MARKERELT = 2048  # applet/marquee/object: insert + formatting marker
 
-_FAST_BAIL_TAGS = frozenset(
-    ("nobr", "plaintext", "frameset", "frame")
-)
+_FAST_BAIL_TAGS = frozenset(("frameset", "frame"))
 
 
 def _build_fast_flags() -> dict:
@@ -923,6 +921,7 @@ def _build_fast_flags() -> dict:
     add(VOID_TAGS, _F_VOID)
     add(_IMMEDIATE_POP, _F_VOID)
     add(_CLOSES_P, _F_CLOSES_P)
+    add(("plaintext",), _F_CLOSES_P)  # WHATWG: plaintext closes an open p
     add(_FORMATTING, _F_FMT)
     add(("li", "dd", "dt"), _F_SIB)
     add(RAW_TEXT_TAGS - {"plaintext"}, _F_RAW)
@@ -1322,6 +1321,20 @@ def _parse_html_fast(s: str) -> DomNode:
                                 if m2 is None or m2.group(1).lower() != name:
                                     raise _TreeFallback
                                 pos = m2.end()  # end tag ignored in select
+                        elif name == "plaintext":
+                            # ignored element, but the tokenizer still
+                            # enters PLAINTEXT: the rest of the input is
+                            # raw text into the select (general parity)
+                            content = s[pos:n]
+                            pos = n
+                            if content:
+                                if "\r" in content:
+                                    content = content.replace(
+                                        "\r\n", "\n"
+                                    ).replace("\r", "\n")
+                                if "\x00" in content:
+                                    content = content.replace("\x00", "�")
+                                append_text(stack[-1], content)
                         continue  # ignored
                 if flags & _F_TBL:
                     # table structure start tag: ignored without an open
@@ -1403,6 +1416,15 @@ def _parse_html_fast(s: str) -> DomNode:
                     afe.append(_MARKER)
                     continue
                 if flags & _F_FMT:
+                    if name == "nobr":
+                        # general: reconstruct (no-op under the invariant)
+                        # then an open nobr in default scope triggers an
+                        # implied </nobr> = a real AAA run -> general path
+                        for nd in reversed(stack):
+                            if nd.data == "nobr":
+                                raise _TreeFallback
+                            if nd.data in _DEFAULT_SCOPE_STOPS:
+                                break
                     same = 0
                     for e in reversed(afe):
                         if e is _MARKER:
@@ -1543,6 +1565,17 @@ def _parse_html_fast(s: str) -> DomNode:
                     # any-other-end-tag: the element is on top -> pop
                     if stack and stack[-1] is element:
                         stack.pop()
+            elif name == "plaintext":
+                # PLAINTEXT tokenizer state: EVERYTHING to EOF is raw
+                # text of the element — no entities, no close tag
+                content = s[pos:n]
+                pos = n
+                if content:
+                    if "\r" in content:
+                        content = content.replace("\r\n", "\n").replace("\r", "\n")
+                    if "\x00" in content:
+                        content = content.replace("\x00", "�")
+                    append_text(element, content)
             continue
         # -- end tag --
         if c == "/":
