@@ -120,6 +120,8 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
         "ann_ivf_lloyd",
         "simhash",
         "main_content",
+        "line_dedup",
+        "winnow_fp",
     ]
     spark = build_session(cpus=cpus, app="xq-bench")
     spark.sparkContext.setLogLevel("ERROR")
