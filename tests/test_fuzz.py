@@ -380,6 +380,15 @@ def test_fused_html_tree_differential():
         '<plaintext>rest <b>raw</b> &amp; x', '<p>x<plaintext>y</plaintext>z',
         '<plaintext>', '<nobr>n</nobr>', '<nobr>a<b>c</b></nobr>',
         '<table><plaintext>pt', '<div><nobr>solo</nobr></div>',
+        # r4: active-formatting reconstruction + simple-AAA end tags
+        '<p><b>head<p>body continues', '<p><b><i>two<p>strands',
+        '<li><b>item<li>next', '<b><i>x</b>after</i>',
+        '<b><em>y</b>z', '<h1><b>h<h2>next', '<button><b>b<button>c',
+        '<td><b>cell<td>next-cell', '<p><b>x</body><div>tail',
+        '<b>x</body>more', '<p><i>q<dd>r<dt>s',
+        '<b><b>dup</b>once</b>twice', '<p><nobr>n<p>m',
+        '<table><b>f<tr><td>cell</td></tr></table>after',
+        '<b>a</p>b', '<i>x<ul><li>y</ul>z',
     ]
     n_fast = n_fallback = 0
     for _ in range(3500):
@@ -392,5 +401,7 @@ def test_fused_html_tree_differential():
             got = tree_sig(ht.parse_html(doc))
             n_fallback += 1
         assert want == got, repr(doc)
-    # the soup must actually exercise BOTH paths
-    assert n_fast > 300 and n_fallback > 300, (n_fast, n_fallback)
+    # the soup must actually exercise BOTH paths (r4: active-formatting
+    # reconstruction dropped the fallback share to ~4% — only real
+    # furthest-block AAA runs, RCDATA-over-strands, and frameset bail)
+    assert n_fast > 300 and n_fallback > 50, (n_fast, n_fallback)

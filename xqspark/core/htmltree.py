@@ -1011,6 +1011,61 @@ def _parse_html_fast(s: str) -> DomNode:
         dirty = True
         return True
 
+    def on_stack(e) -> bool:
+        for nd in stack:
+            if nd is e:
+                return True
+        return False
+
+    def on_stack_afe(e) -> bool:
+        for x in afe:
+            if x is e:
+                return True
+        return False
+
+    def strands_pending() -> bool:
+        # would reconstruct() actually act right now?
+        return bool(afe) and afe[-1] is not _MARKER and not on_stack(afe[-1])
+
+    def reconstruct() -> None:
+        """General _reconstruct_afe mirror: re-open stranded active
+        formatting entries by cloning at the insertion point (fostering
+        when that point is table context). Under a clean afe this is the
+        same early-return no-op the r3 invariant assumed."""
+        nonlocal order
+        if not afe:
+            return
+        last = afe[-1]
+        # O(1) hot case first: the newest entry is the open element the
+        # well-nested flow just pushed
+        if last is _MARKER or (stack and last is stack[-1]) or on_stack(last):
+            return
+        i = len(afe) - 1
+        while i > 0:
+            e = afe[i - 1]
+            if e is _MARKER or on_stack(e):
+                break
+            i -= 1
+        for j in range(i, len(afe)):
+            src_el = afe[j]
+            if src_el is _MARKER:
+                continue
+            clone = new_node(ELEMENT, src_el.data, order)
+            order += 1
+            clone.attrs = [
+                DomAttr(a.space, a.local, a.value, a.prefix)
+                for a in src_el.attrs
+            ]
+            cur = stack[-1]
+            if cur.data in _TABLE_CTX:
+                if not foster_before_table(clone):
+                    raise _TreeFallback
+            else:
+                clone.parent = cur
+                cur.children.append(clone)
+            stack.append(clone)
+            afe[j] = clone
+
     def ensure_html() -> None:
         nonlocal html, order
         if html is None:
@@ -1038,11 +1093,9 @@ def _parse_html_fast(s: str) -> DomNode:
             html.append(body)
             stack[:] = (html, body)
 
-    def check_popped(popped) -> None:
-        # an implied pop of a formatting element would reconstruct later
-        for node in popped:
-            if node.data in _FORMATTING:
-                raise _TreeFallback
+    # r4: implied pops may strand active formatting entries — the
+    # reconstruct() closure re-opens them at the next insertion point
+    # with general-path parity, so no pop needs to bail anymore.
 
     def in_select() -> bool:
         # general-path _select_on_stack: a select is open with only
@@ -1066,10 +1119,9 @@ def _parse_html_fast(s: str) -> DomNode:
     def pop_slice(i: int) -> None:
         """Pop stack[i:] with the general builder's marker semantics:
         each popped marker-scoped element (td/th/caption) clears the
-        active formatting list to its marker — formatting left open
-        inside a cell is dropped WITH the cell, exactly like the general
-        path, so no reconstruction concern. Bails only if a popped
-        formatting element would survive in the list (invariant break)."""
+        active formatting list to its marker. A popped formatting
+        element that survives in the list is a STRANDED entry —
+        reconstruct() re-opens it at the next insertion point (r4)."""
         popped = stack[i:]
         del stack[i:]
         for p in popped:
@@ -1077,11 +1129,6 @@ def _parse_html_fast(s: str) -> DomNode:
                 while afe:
                     if afe.pop() is _MARKER:
                         break
-        for p in popped:
-            if p.data in _FORMATTING:
-                for e in afe:
-                    if e is p:
-                        raise _TreeFallback
 
     while pos < n:
         # -- text up to the next markup-starting '<' (same scan rule as
@@ -1126,6 +1173,18 @@ def _parse_html_fast(s: str) -> DomNode:
                     continue
                 open_body()
             cur = stack[-1]
+            # pre-newline drop sees the PRE-reconstruction current node
+            # (general _text order: newline rule, then reconstruct)
+            if (
+                not cur.children
+                and t[0] == "\n"
+                and cur.data in ("pre", "listing", "textarea")
+            ):
+                t = t[1:]
+                if not t:
+                    continue
+            reconstruct()
+            cur = stack[-1]
             if cur.data in _TABLE_CTX and t.strip(" \t\n\f\r") != "":
                 # foster-parenting fast path (r4): PURE TEXT sitting
                 # directly in table context — the single most common crawl
@@ -1153,15 +1212,9 @@ def _parse_html_fast(s: str) -> DomNode:
                     dirty = True
                 continue
             ch = cur.children
-            if ch:
-                last = ch[-1]
-                if last.type == TEXT:
-                    last.data += t
-                    continue
-            elif t[0] == "\n" and cur.data in ("pre", "listing", "textarea"):
-                t = t[1:]
-                if not t:
-                    continue
+            if ch and ch[-1].type == TEXT:
+                ch[-1].data += t
+                continue
             node = new_node(TEXT, t, order)
             order += 1
             node.parent = cur
@@ -1314,6 +1367,10 @@ def _parse_html_fast(s: str) -> DomNode:
                                 if "\x00" in content:
                                     content = content.replace("\x00", "�")
                                 if name in ("textarea", "title"):
+                                    # non-raw text would reconstruct
+                                    # stranded formatting into the select
+                                    if strands_pending():
+                                        raise _TreeFallback
                                     content = unescape(content)
                                 append_text(stack[-1], content)
                             if close != -1:
@@ -1397,10 +1454,10 @@ def _parse_html_fast(s: str) -> DomNode:
                             afe.append(_MARKER)
                     continue
                 if flags & _F_MARKERELT:
-                    # applet/marquee/object: insert + push a formatting
-                    # MARKER (reconstruction is a no-op under the
-                    # invariant; their pops run through pop_slice); in
-                    # table context they foster like any other element
+                    # applet/marquee/object: reconstruct, insert, push a
+                    # formatting MARKER (general-path order); in table
+                    # context they foster like any other element
+                    reconstruct()
                     cur = stack[-1]
                     element.order = order
                     order += 1
@@ -1417,9 +1474,11 @@ def _parse_html_fast(s: str) -> DomNode:
                     continue
                 if flags & _F_FMT:
                     if name == "nobr":
-                        # general: reconstruct (no-op under the invariant)
-                        # then an open nobr in default scope triggers an
-                        # implied </nobr> = a real AAA run -> general path
+                        # general: reconstruct FIRST (a stranded nobr
+                        # comes back onto the stack), then an open nobr
+                        # in default scope triggers an implied </nobr>
+                        # = a real AAA run -> general path
+                        reconstruct()
                         for nd in reversed(stack):
                             if nd.data == "nobr":
                                 raise _TreeFallback
@@ -1450,7 +1509,6 @@ def _parse_html_fast(s: str) -> DomNode:
                         for i in range(len(stack) - 1, -1, -1):
                             nd = stack[i]
                             if nd.data == "button":
-                                check_popped(stack[i:])
                                 del stack[i:]
                                 break
                             if nd.data in _DEFAULT_SCOPE_STOPS:
@@ -1459,7 +1517,6 @@ def _parse_html_fast(s: str) -> DomNode:
                         for i in range(len(stack) - 1, -1, -1):
                             tag = stack[i].data
                             if tag == "p":
-                                check_popped(stack[i:])
                                 del stack[i:]
                                 break
                             if tag in _BUTTON_SCOPE_STOPS:
@@ -1470,7 +1527,6 @@ def _parse_html_fast(s: str) -> DomNode:
                         for i in range(len(stack) - 1, -1, -1):
                             tag = stack[i].data
                             if tag in closers:
-                                check_popped(stack[i:])
                                 del stack[i:]
                                 break
                             if tag in stops:
@@ -1481,6 +1537,16 @@ def _parse_html_fast(s: str) -> DomNode:
                         and stack[-1].data in _HEADINGS
                     ):
                         stack.pop()
+                # general line 747-750: reconstruct for "any other start
+                # tag" plus button and the reconstructing voids — never
+                # for the auto-closing _SPECIAL tags (their implied pops
+                # above ran before any reconstruction, same as general)
+                if (
+                    name == "button"
+                    or name not in _SPECIAL
+                    or name in _RECONSTRUCT_SPECIALS
+                ):
+                    reconstruct()
                 cur = stack[-1]
                 element.order = order
                 order += 1
@@ -1548,6 +1614,12 @@ def _parse_html_fast(s: str) -> DomNode:
                     if "\x00" in content:
                         content = content.replace("\x00", "�")
                     if name in ("textarea", "title"):
+                        # RCDATA text arrives NON-raw: the general _text
+                        # reconstructs before inserting, cloning stranded
+                        # formatting INSIDE the element — rare combo,
+                        # general path's job
+                        if strands_pending():
+                            raise _TreeFallback
                         content = unescape(content)
                     if (
                         name == "textarea"
@@ -1593,12 +1665,10 @@ def _parse_html_fast(s: str) -> DomNode:
                     raise _TreeFallback
                 if name == "head":
                     if head is not None and len(stack) > 1 and stack[1] is head:
-                        check_popped(stack[1:])
                         del stack[1:]
                     continue
                 # body/html
                 if body is not None:
-                    check_popped(stack[2:])
                     del stack[2:]
                 continue
             top = stack[-1].data if stack else ""
@@ -1618,10 +1688,11 @@ def _parse_html_fast(s: str) -> DomNode:
                 else:
                     continue  # ignored
             if name == "br":
-                # WHATWG: </br> acts as <br> (reconstruction is a no-op
-                # under the fast-path invariant); fosters in table ctx
+                # WHATWG: </br> acts as <br> (reconstructs, general
+                # parity); fosters in table ctx
                 if body is None:
                     open_body()
+                reconstruct()
                 cur = stack[-1]
                 node = new_node(ELEMENT, "br", order)
                 order += 1
@@ -1658,7 +1729,6 @@ def _parse_html_fast(s: str) -> DomNode:
                 for i in range(len(stack) - 1, -1, -1):
                     node = stack[i]
                     if node.data == "p":
-                        check_popped(stack[i:])
                         del stack[i:]
                         break
                     if node.data in _BUTTON_SCOPE_STOPS:
@@ -1701,6 +1771,12 @@ def _parse_html_fast(s: str) -> DomNode:
                         break
                 continue
             if flags & _F_FMT:
+                # general _adoption_agency entry steps, mirrored; only a
+                # run with a FURTHEST BLOCK (the real reparenting loop)
+                # still bails to the general builder
+                if stack and stack[-1].data == name and not on_stack_afe(stack[-1]):
+                    stack.pop()  # step 0: current is subject, not active
+                    continue
                 fe = None
                 for e in reversed(afe):
                     if e is _MARKER:
@@ -1709,13 +1785,36 @@ def _parse_html_fast(s: str) -> DomNode:
                         fe = e
                         break
                 if fe is not None:
-                    # adoption agency simple case: the entry must be the
-                    # current node (anything else means a real AAA run)
-                    if stack and stack[-1] is fe and afe[-1] is fe:
-                        stack.pop()
-                        afe.pop()
+                    fe_idx = -1
+                    for si in range(len(stack) - 1, -1, -1):
+                        if stack[si] is fe:
+                            fe_idx = si
+                            break
+                    if fe_idx == -1:
+                        afe.remove(fe)  # active but not open: drop entry
                         continue
-                    raise _TreeFallback
+                    in_scope = False
+                    for nd in reversed(stack):
+                        if nd is fe:
+                            in_scope = True
+                            break
+                        if nd.data in _DEFAULT_SCOPE_STOPS:
+                            break
+                    if not in_scope:
+                        continue  # parse error: ignore the token
+                    fb = None
+                    for nd in stack[fe_idx + 1 :]:
+                        if nd.data in _SPECIAL:
+                            fb = nd
+                            break
+                    if fb is None:
+                        # pop to (and including) fe; formatting above it
+                        # stays in afe as stranded entries for the next
+                        # reconstruct()
+                        del stack[fe_idx:]
+                        afe.remove(fe)
+                        continue
+                    raise _TreeFallback  # real AAA with a furthest block
                 # no active entry since the last marker: AAA degrades to
                 # "any other end tag" — fall through to the scan below
             # any other end tag
@@ -1724,7 +1823,6 @@ def _parse_html_fast(s: str) -> DomNode:
                 if node is html or node is body or node is head:
                     break
                 if node.data == name:
-                    check_popped(stack[i + 1 :])
                     del stack[i:]
                     break
                 if node.data in _SPECIAL:
