@@ -389,6 +389,24 @@ def test_fused_html_tree_differential():
         '<b><b>dup</b>once</b>twice', '<p><nobr>n<p>m',
         '<table><b>f<tr><td>cell</td></tr></table>after',
         '<b>a</p>b', '<i>x<ul><li>y</ul>z',
+        # r4: FULL adoption agency (furthest block), <a> readoption,
+        # Noah's Ark eviction, nested nobr
+        '<b><div>fb</b>after</div>', '<i><p>par</i>more</p>',
+        '<b><i><div>deep</b>x</i>y</div>', '<em><ul><li>l</em>m',
+        '<a href="1">one<a href="2">two</a>', '<a>x<div><a>y</a></div>',
+        '<b><b><b><b>ark</b>', '<nobr><nobr>nn</nobr>',
+        '<b><p>one</b><p>two', '<strong><table><tr><td>c</strong>d',
+        '<a><b>ab<a>cd', '<i><b><div>x</i></b>',
+        '<b><span><div>s</b>t', '<font color="r"><div>f</font>g',
+        # r4: script escape states via the shared scanner
+        '<script><!-- <script>inner</script> --></script>after',
+        '<script><!-- <script>never-closes --></script>tail',
+        '<script><!-- no close at all', '<script>a<!--b--></script>c',
+        '<script><!-- </script>esc-close -->x',
+        # known-bail classes, kept in the soup so the FALLBACK path stays
+        # exercised too (RCDATA over strands, frameset, abrupt comments)
+        '<b>x</p><title>strand-title</title>', '<frameset>', '<frame>',
+        '<b>y</p><textarea>strand-ta</textarea>', '<!-->', '<!--->',
     ]
     n_fast = n_fallback = 0
     for _ in range(3500):
@@ -401,7 +419,9 @@ def test_fused_html_tree_differential():
             got = tree_sig(ht.parse_html(doc))
             n_fallback += 1
         assert want == got, repr(doc)
-    # the soup must actually exercise BOTH paths (r4: active-formatting
-    # reconstruction dropped the fallback share to ~4% — only real
-    # furthest-block AAA runs, RCDATA-over-strands, and frameset bail)
-    assert n_fast > 300 and n_fallback > 50, (n_fast, n_fallback)
+    # the soup must actually exercise BOTH paths (r4: reconstruction +
+    # the full adoption agency + the shared script scanner dropped the
+    # fallback share to ~2% — RCDATA-over-strands, frameset, and abrupt
+    # comment closes are kept in the frag list precisely so the fallback
+    # path keeps getting differential coverage)
+    assert n_fast > 300 and n_fallback > 20, (n_fast, n_fallback)

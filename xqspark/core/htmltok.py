@@ -82,6 +82,66 @@ class HDoctype:
     text: str
 
 
+def scan_script(s: str, n: int, pos: int) -> int:
+    """Script raw text with the WHATWG escape states (x/net/html
+    readScript): inside <!-- ... a nested <script> enters the
+    double-escaped state where </script> does NOT terminate the
+    element; --> leaves it. Returns the index where the real
+    </script close tag begins (or n). Shared by the tokenizer and the
+    fused tree fast path so both see identical script spans."""
+
+    def close_matches(idx: int) -> bool:
+        after = idx + 8  # len("</script")
+        if s[idx : idx + 8].lower() != "</script":
+            return False
+        # EOF-abutting '</script' stays in the text (readRawEndTag)
+        return after < n and (s[after] in _WS or s[after] in "/>")
+
+    def open_matches(idx: int) -> bool:
+        after = idx + 7  # len("<script")
+        if s[idx : idx + 7].lower() != "<script":
+            return False
+        return after < n and (s[after] in _WS or s[after] in "/>")
+
+    i = pos
+    state = "data"
+    while i < n:
+        c = s[i]
+        if state == "data":
+            if c == "<":
+                if s.startswith("<!--", i):
+                    state = "escaped"
+                    i += 4
+                    continue
+                if close_matches(i):
+                    return i
+            i += 1
+        elif state == "escaped":
+            if c == "-" and s.startswith("-->", i):
+                state = "data"
+                i += 3
+                continue
+            if c == "<":
+                if open_matches(i):
+                    state = "double"
+                    i += 7
+                    continue
+                if close_matches(i):
+                    return i
+            i += 1
+        else:  # double-escaped
+            if c == "-" and s.startswith("-->", i):
+                state = "data"
+                i += 3
+                continue
+            if c == "<" and close_matches(i):
+                state = "escaped"
+                i += 8
+                continue
+            i += 1
+    return n
+
+
 def _convert_newlines(s: str) -> str:
     if "\r" in s:
         s = s.replace("\r\n", "\n").replace("\r", "\n")
@@ -231,63 +291,7 @@ class HtmlTokenizer:
         return HText(text, raw=is_raw)
 
     def _scan_script(self) -> int:
-        """Script raw text with the WHATWG escape states (x/net/html
-        readScript): inside <!-- ... a nested <script> enters the
-        double-escaped state where </script> does NOT terminate the
-        element; --> leaves it. Returns the index where the real
-        </script close tag begins (or n)."""
-        s, n = self.s, self.n
-        i = self.pos
-
-        def close_matches(idx: int) -> bool:
-            after = idx + 8  # len("</script")
-            if s[idx : idx + 8].lower() != "</script":
-                return False
-            # EOF-abutting '</script' stays in the text (readRawEndTag)
-            return after < n and (s[after] in _WS or s[after] in "/>")
-
-        def open_matches(idx: int) -> bool:
-            after = idx + 7  # len("<script")
-            if s[idx : idx + 7].lower() != "<script":
-                return False
-            return after < n and (s[after] in _WS or s[after] in "/>")
-
-        state = "data"
-        while i < n:
-            c = s[i]
-            if state == "data":
-                if c == "<":
-                    if s.startswith("<!--", i):
-                        state = "escaped"
-                        i += 4
-                        continue
-                    if close_matches(i):
-                        return i
-                i += 1
-            elif state == "escaped":
-                if c == "-" and s.startswith("-->", i):
-                    state = "data"
-                    i += 3
-                    continue
-                if c == "<":
-                    if open_matches(i):
-                        state = "double"
-                        i += 7
-                        continue
-                    if close_matches(i):
-                        return i
-                i += 1
-            else:  # double-escaped
-                if c == "-" and s.startswith("-->", i):
-                    state = "data"
-                    i += 3
-                    continue
-                if c == "<" and close_matches(i):
-                    state = "escaped"
-                    i += 8
-                    continue
-                i += 1
-        return n
+        return scan_script(self.s, self.n, self.pos)
 
     def _find_ci(self, needle: str, start: int) -> int:
         """Case-insensitive find without lowering the whole buffer each call."""

@@ -33,6 +33,7 @@ from .htmltok import (
     HStartTag,
     HText,
     HtmlTokenizer,
+    scan_script,
 )
 from .textutil import VOID_TAGS
 
@@ -1027,6 +1028,176 @@ def _parse_html_fast(s: str) -> DomNode:
         # would reconstruct() actually act right now?
         return bool(afe) and afe[-1] is not _MARKER and not on_stack(afe[-1])
 
+    def stack_index(e) -> int:
+        for i2 in range(len(stack) - 1, -1, -1):
+            if stack[i2] is e:
+                return i2
+        return -1
+
+    def afe_index(e) -> int:
+        for i2 in range(len(afe) - 1, -1, -1):
+            if afe[i2] is e:
+                return i2
+        return -1
+
+    def clone_node(src_el):
+        nonlocal order
+        c = new_node(ELEMENT, src_el.data, order)
+        order += 1
+        c.attrs = [
+            DomAttr(a.space, a.local, a.value, a.prefix) for a in src_el.attrs
+        ]
+        return c
+
+    def afe_push(node2) -> None:
+        # general _afe_push mirror — Noah's Ark clause: at most 3 entries
+        # with the same name+attrs since the last marker
+        count = 0
+        sig = {(a.local, a.value) for a in node2.attrs}
+        for i2 in range(len(afe) - 1, -1, -1):
+            e = afe[i2]
+            if e is _MARKER:
+                break
+            if (
+                e.data == node2.data
+                and len(e.attrs) == len(node2.attrs)
+                and {(a.local, a.value) for a in e.attrs} == sig
+            ):
+                count += 1
+                if count == 3:
+                    del afe[i2]
+                    break
+        afe.append(node2)
+
+    def any_other_end_tag(nm) -> None:
+        for i2 in range(len(stack) - 1, -1, -1):
+            node2 = stack[i2]
+            if node2 is html or node2 is body or node2 is head:
+                break
+            if node2.data == nm:
+                del stack[i2:]
+                return
+            if node2.data in _SPECIAL:
+                return  # parse error: ignore
+
+    def foster_insert_full(node2) -> None:
+        # general _foster_insert with ALL its fallbacks (used from the
+        # adoption agency, which sets dirty anyway)
+        nonlocal dirty
+        dirty = True
+        ti = -1
+        for i2 in range(len(stack) - 1, -1, -1):
+            if stack[i2].data == "table":
+                ti = i2
+                break
+        if ti == -1:
+            (body if body is not None else stack[-1]).append(node2)
+            return
+        tbl = stack[ti]
+        parent = tbl.parent
+        if parent is not None:
+            _detach(node2)
+            node2.parent = parent
+            for i2, c2 in enumerate(parent.children):
+                if c2 is tbl:
+                    parent.children.insert(i2, node2)
+                    return
+        stack[ti - 1].append(node2)
+
+    def adoption_agency(nm) -> None:
+        """General _adoption_agency mirror (WHATWG 13.2.6.4.7), running
+        on the fast stack/afe; any reparenting sets dirty so the final
+        re-walk restores document order exactly like the general
+        builder's post-walk numbering."""
+        nonlocal dirty
+        if stack and stack[-1].data == nm and afe_index(stack[-1]) == -1:
+            stack.pop()  # current node is the subject but isn't active
+            return
+        for _i in range(8):  # outer loop
+            fe = None
+            for e in reversed(afe):
+                if e is _MARKER:
+                    break
+                if e.data == nm:
+                    fe = e
+                    break
+            if fe is None:
+                any_other_end_tag(nm)
+                return
+            fe_idx = stack_index(fe)
+            if fe_idx == -1:
+                afe.remove(fe)  # parse error: active but not open
+                return
+            in_scope = False
+            for nd in reversed(stack):
+                if nd is fe:
+                    in_scope = True
+                    break
+                if nd.data in _DEFAULT_SCOPE_STOPS:
+                    break
+            if not in_scope:
+                return  # parse error: ignore the token
+            fb = None
+            for nd in stack[fe_idx + 1 :]:
+                if nd.data in _SPECIAL:
+                    fb = nd
+                    break
+            if fb is None:
+                del stack[fe_idx:]
+                afe.remove(fe)
+                return
+            dirty = True  # the reparenting below reorders the document
+            common = stack[fe_idx - 1]
+            bookmark = afe_index(fe)
+            last_node = fb
+            node2 = fb
+            x = stack_index(node2)
+            j = 0
+            while True:  # inner loop
+                j += 1
+                x -= 1
+                node2 = stack[x]
+                if node2 is fe:
+                    break
+                ai = afe_index(node2)
+                if j > 3 and ai != -1:
+                    del afe[ai]
+                    if ai < bookmark:
+                        bookmark -= 1
+                    ai = -1
+                if ai == -1:
+                    del stack[x]
+                    continue
+                c2 = clone_node(node2)
+                afe[ai] = c2
+                stack[x] = c2
+                node2 = c2
+                if last_node is fb:
+                    bookmark = afe_index(node2) + 1
+                _detach(last_node)
+                node2.append(last_node)
+                last_node = node2
+            _detach(last_node)
+            if common.data in _TABLE_CTX:
+                foster_insert_full(last_node)
+            else:
+                common.append(last_node)
+            c2 = clone_node(fe)
+            for ch2 in list(fb.children):
+                _detach(ch2)
+                c2.append(ch2)
+            fb.append(c2)
+            old = afe_index(fe)
+            if old != -1:
+                if old < bookmark:
+                    bookmark -= 1
+                del afe[old]
+            afe.insert(bookmark, c2)
+            fe_pos = stack_index(fe)
+            if fe_pos != -1:
+                del stack[fe_pos]
+            stack.insert(stack_index(fb) + 1, c2)
+
     def reconstruct() -> None:
         """General _reconstruct_afe mirror: re-open stranded active
         formatting entries by cloning at the insertion point (fostering
@@ -1473,27 +1644,35 @@ def _parse_html_fast(s: str) -> DomNode:
                     afe.append(_MARKER)
                     continue
                 if flags & _F_FMT:
-                    if name == "nobr":
+                    if name == "a":
+                        # general: an <a> still active since the last
+                        # marker is adopted out first
+                        prev_a = None
+                        for e in reversed(afe):
+                            if e is _MARKER:
+                                break
+                            if e.data == "a":
+                                prev_a = e
+                                break
+                        if prev_a is not None:
+                            adoption_agency("a")
+                            ai2 = afe_index(prev_a)
+                            if ai2 != -1:
+                                del afe[ai2]
+                            si2 = stack_index(prev_a)
+                            if si2 != -1:
+                                del stack[si2]
+                    elif name == "nobr":
                         # general: reconstruct FIRST (a stranded nobr
                         # comes back onto the stack), then an open nobr
-                        # in default scope triggers an implied </nobr>
-                        # = a real AAA run -> general path
+                        # in default scope takes an implied </nobr> (AAA)
                         reconstruct()
                         for nd in reversed(stack):
                             if nd.data == "nobr":
-                                raise _TreeFallback
+                                adoption_agency("nobr")
+                                break
                             if nd.data in _DEFAULT_SCOPE_STOPS:
                                 break
-                    same = 0
-                    for e in reversed(afe):
-                        if e is _MARKER:
-                            break
-                        if e.data == name:
-                            same += 1
-                    if (name == "a" and same) or same >= 2:
-                        # <a>-adoption / Noah's Ark could engage (both are
-                        # scoped to the last marker, like the general path)
-                        raise _TreeFallback
                 else:
                     if name == "form" and form_node is not None:
                         continue  # nested <form> is ignored (form pointer)
@@ -1574,7 +1753,7 @@ def _parse_html_fast(s: str) -> DomNode:
                 if push:
                     stack.append(element)
                     if flags & _F_FMT:
-                        afe.append(element)
+                        afe_push(element)  # Noah's Ark eviction included
                 if name == "form":
                     form_node = element
             if flags & _F_RAW:
@@ -1588,15 +1767,16 @@ def _parse_html_fast(s: str) -> DomNode:
                         close = _find_ci(s, "</script", close + 1)
                     span_end = n if close == -1 else close
                     if "<!--" in s[pos:span_end]:
-                        # script escape states matter only when a nested
-                        # "<script" occurs (double-escaped state makes a
-                        # later </script> NOT close); with no nested
-                        # opener, </script> closes in every state and the
-                        # naive span is exact. Conservative: any nested
-                        # opener alongside <!-- -> general path.
-                        nested = _find_ci(s, "<script", pos)
-                        if nested != -1 and nested < span_end:
-                            raise _TreeFallback
+                        # escape states can move the real close (a nested
+                        # <script> inside <!-- enters double-escaped where
+                        # </script> does NOT terminate): defer to the
+                        # SHARED WHATWG scanner — the same function the
+                        # tokenizer runs, so the spans are identical by
+                        # construction. Without <!-- the naive find above
+                        # is exact and skips the char-loop.
+                        close = scan_script(s, n, pos)
+                        if close >= n:
+                            close = -1
                 else:
                     needle = "</" + name
                     ln = len(needle)
@@ -1771,52 +1951,9 @@ def _parse_html_fast(s: str) -> DomNode:
                         break
                 continue
             if flags & _F_FMT:
-                # general _adoption_agency entry steps, mirrored; only a
-                # run with a FURTHEST BLOCK (the real reparenting loop)
-                # still bails to the general builder
-                if stack and stack[-1].data == name and not on_stack_afe(stack[-1]):
-                    stack.pop()  # step 0: current is subject, not active
-                    continue
-                fe = None
-                for e in reversed(afe):
-                    if e is _MARKER:
-                        break
-                    if e.data == name:
-                        fe = e
-                        break
-                if fe is not None:
-                    fe_idx = -1
-                    for si in range(len(stack) - 1, -1, -1):
-                        if stack[si] is fe:
-                            fe_idx = si
-                            break
-                    if fe_idx == -1:
-                        afe.remove(fe)  # active but not open: drop entry
-                        continue
-                    in_scope = False
-                    for nd in reversed(stack):
-                        if nd is fe:
-                            in_scope = True
-                            break
-                        if nd.data in _DEFAULT_SCOPE_STOPS:
-                            break
-                    if not in_scope:
-                        continue  # parse error: ignore the token
-                    fb = None
-                    for nd in stack[fe_idx + 1 :]:
-                        if nd.data in _SPECIAL:
-                            fb = nd
-                            break
-                    if fb is None:
-                        # pop to (and including) fe; formatting above it
-                        # stays in afe as stranded entries for the next
-                        # reconstruct()
-                        del stack[fe_idx:]
-                        afe.remove(fe)
-                        continue
-                    raise _TreeFallback  # real AAA with a furthest block
-                # no active entry since the last marker: AAA degrades to
-                # "any other end tag" — fall through to the scan below
+                # full adoption agency, mirrored from the general builder
+                adoption_agency(name)
+                continue
             # any other end tag
             for i in range(len(stack) - 1, -1, -1):
                 node = stack[i]
