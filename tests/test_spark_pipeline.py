@@ -249,6 +249,28 @@ def test_lsh_hot_band_cap(spark, tmp_path):
     assert sorted((r.doc_a, r.doc_b) for r in cfg.collect()) == [(100, 101)]
 
 
+def test_lsh_near_dup_detection_quality(spark, tmp_path):
+    """The Carter-Wegman family must actually find NEAR (not just
+    identical) duplicates: a ~0.9-shingle-jaccard pair collides at the
+    realistic 16x4 shape (s-curve says ~always) while an unrelated doc
+    pairs with nothing. Deterministic: the hash constants are fixed."""
+    from xqspark.queries import lsh_pairs
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(95)) + " a95 a96 a97 a98 a99"
+    other = " ".join(f"zzz{i}" for i in range(100))
+    rows = [(0, base), (1, near), (2, other)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in lsh_pairs(spark, str(tmp_path), n_bands=16, n_rows=4).collect()
+    )
+    assert (0, 1) in got, got
+    assert all(p == (0, 1) for p in got), got
+
+
 def test_salted_skew_ratio_bounded(spark):
     """On the Zipf corpus, salted repartition keeps max/median per-task
     extraction time under 3x (VERDICT r1 #7). Per-task WALL time is what

@@ -745,26 +745,29 @@ def q_fingerprint_sql():
     )
 
 
-_MERSENNE61 = (1 << 61) - 1
+_MERSENNE31 = (1 << 31) - 1
 
 
 def _mh_params(n_hashes: int) -> list:
-    """Deterministic (a, b) constants for the universal permutation family
-    g_k(h) = (a_k*h + b_k) mod (2^61-1) — the datasketch/Broder shape:
-    ONE base hash per shingle, permuted per signature slot with cheap
-    integer arithmetic. Derived from md5 of the slot index so the Spark
-    plan and the DuckDB oracle embed bit-identical literals. a_k is kept
-    in [2^20, 2^30) (nonzero, large enough that the mod wraps — a
-    non-wrapping a would make every slot's argmin the base argmin and
-    collapse the bands); a_k*h + b_k < 2^62 + 2^30 stays inside signed
-    64-bit under ANSI mode."""
+    """Deterministic (a, b) constants for the Carter-Wegman universal
+    family g_k(h) = (a_k*h + b_k) mod (2^31-1) — the datasketch/Broder
+    shape: ONE base hash per shingle, permuted per signature slot with
+    cheap integer arithmetic. Derived from md5 of the slot index so the
+    Spark plan and the DuckDB oracle embed bit-identical literals.
+
+    The prime is 2^31-1 (Mersenne) so a_k, b_k can be drawn from the
+    FULL range [1, p-1] / [0, p-1] — proper pairwise-independent mixing
+    (a small-a family over a large prime wraps the modulus only a
+    couple of times, leaving the slots near-monotone in the base hash
+    and the LSH bands correlated). ANSI-overflow-safe by construction:
+    max a_k*h + b_k = (p-1)*(2^32-1) + (p-1) < 2^63-1."""
     import hashlib
 
     out = []
     for k in range(1, n_hashes + 1):
         d = hashlib.md5(f"xq-minhash-{k}".encode()).hexdigest()
-        a = (int(d[:8], 16) % ((1 << 30) - (1 << 20))) + (1 << 20)
-        b = int(d[8:16], 16) % (1 << 30)
+        a = int(d[:8], 16) % (_MERSENNE31 - 1) + 1
+        b = int(d[8:16], 16) % _MERSENNE31
         out.append((a, b))
     return out
 
@@ -801,7 +804,7 @@ def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
     )
     mh = [
         F.expr(
-            f"array_min(transform(h, x -> pmod({a}L * x + {b}L, {_MERSENNE61}L)))"
+            f"array_min(transform(h, x -> pmod({a}L * x + {b}L, {_MERSENNE31}L)))"
         ).alias(f"mh{k}")
         for k, (a, b) in enumerate(_mh_params(n_hashes), start=1)
     ]
@@ -815,7 +818,7 @@ def _minhash_sql_body(n_hashes: int = 4) -> str:
     %% == pmod). Respects the known list_transform+range lateral quirk
     (range(1, len-1) with 1-based list indexing)."""
     cols = [
-        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MERSENNE61})) AS mh{k}"
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MERSENNE31})) AS mh{k}"
         for k, (a, b) in enumerate(_mh_params(n_hashes), start=1)
     ]
     return (
