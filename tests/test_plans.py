@@ -252,6 +252,20 @@ def test_winnow_fp_is_map_only_and_detects_shared_passages(spark):
     assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
 
 
+def test_simhash_pairs_is_block_join_not_cross(spark):
+    """Manku block technique: candidates come from a bucketed equi-join
+    on (word_idx, word_val) — never an all-pairs scan; the hot-word cap
+    window rides the join's own partitioning (<=2 wi exchanges, one of
+    which reuses at runtime)."""
+    import re
+
+    plan = plan_of(QUERIES["simhash_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(wi", plan)) <= 2, plan[:2000]
+    assert "bit_count" in plan  # exact hamming filter on candidates
+
+
 def test_minhash_signature_is_map_only_projection(spark):
     """VERDICT r3 #2: signatures are in-row higher-order functions —
     no Generate (shingle explode), no Sort/HashAggregate (per-doc min),

@@ -2320,6 +2320,81 @@ def q_simhash_sql():
     )
 
 
+def simhash_pairs(spark, sf_dir, max_hamming: int = 3, word_cap: int = 256):
+    """SimHash near-duplicate pairs — the Manku/Jain/Das Sarma (WWW'07)
+    block technique: two 64-bit signatures within hamming distance <= 3
+    must agree EXACTLY on at least one of the four 16-bit words, so
+    candidates come from four bucketed equi-joins (melted to one join on
+    (word_idx, word_val)) instead of an all-pairs scan; the exact
+    hamming filter runs only on candidates. Degenerate hot words (near-
+    empty docs collapsing to the same signature word) are bounded by
+    ``word_cap`` via the same count-window-on-the-join-partitioning
+    trick as lsh_pairs' band_cap. At 100 TB: one shuffle keyed on the
+    16-bit words, never quadratic outside capped buckets."""
+    sig = q_simhash(spark, sf_dir)
+    melted = sig.select(
+        "doc_id",
+        *[F.col(f"simhash_w{w}") for w in range(4)],
+        F.posexplode(
+            F.array(*[F.col(f"simhash_w{w}") for w in range(4)])
+        ).alias("wi", "wv"),
+    )
+    sized = melted.withColumn(
+        "n_w", F.count("*").over(W.partitionBy("wi", "wv"))
+    )
+    ok = sized.filter(F.col("n_w") <= word_cap).drop("n_w")
+    a = ok.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"simhash_w{w}").alias(f"a{w}") for w in range(4)],
+        "wi",
+        "wv",
+    )
+    b = ok.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"simhash_w{w}").alias(f"b{w}") for w in range(4)],
+        "wi",
+        "wv",
+    )
+    ham = None
+    for w in range(4):
+        piece = F.expr(f"bit_count(a{w} ^ b{w})")
+        ham = piece if ham is None else ham + piece
+    return (
+        a.join(b, ["wi", "wv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return simhash_pairs(spark, sf_dir)
+
+
+def q_simhash_pairs_sql(max_hamming: int = 3, word_cap: int = 256):
+    melt = " UNION ALL ".join(
+        f"SELECT doc_id, simhash_w0, simhash_w1, simhash_w2, simhash_w3, "
+        f"{w} AS wi, simhash_w{w} AS wv FROM sig"
+        for w in range(4)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.simhash_w{w}, b.simhash_w{w}))" for w in range(4)
+    )
+    return (
+        "WITH sig AS (SELECT * FROM (" + q_simhash_sql() + ")), "
+        f"m AS ({melt}), "
+        "ok AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY wi, wv) "
+        f"AS n_w FROM m) WHERE n_w <= {word_cap}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"({ham})::INT AS hamming "
+        "FROM ok a JOIN ok b ON a.wi = b.wi AND a.wv = b.wv "
+        "AND a.doc_id < b.doc_id "
+        f"WHERE ({ham}) <= {max_hamming}"
+    )
+
+
 QUERIES = {
     "xpath_title": q_xpath_title,
     "xpath_token_count": q_xpath_token_count,
@@ -2370,6 +2445,7 @@ QUERIES = {
     "css_misnested": q_css_misnested,
     "error_containment": q_error_containment,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -2430,4 +2506,5 @@ ORACLES = {
     "redact_pii": q_redact_pii_sql(),
     "pack_chunks": q_pack_chunks_sql(),
     "simhash": q_simhash_sql(),
+    "simhash_pairs": q_simhash_pairs_sql(),
 }
