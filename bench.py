@@ -122,6 +122,7 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
         "main_content",
         "line_dedup",
         "winnow_fp",
+        "simhash_pairs",
     ]
     spark = build_session(cpus=cpus, app="xq-bench")
     spark.sparkContext.setLogLevel("ERROR")
