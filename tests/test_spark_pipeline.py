@@ -249,6 +249,31 @@ def test_lsh_hot_band_cap(spark, tmp_path):
     assert sorted((r.doc_a, r.doc_b) for r in cfg.collect()) == [(100, 101)]
 
 
+def test_simhash_pairs_word_cap_blocks_quadratic(spark, tmp_path):
+    """A degenerate signature word shared by many docs (boilerplate) is
+    dropped above word_cap instead of going quadratic — while a genuine
+    near-dup pair with a modest bucket survives. Mirrors the lsh
+    band_cap test for the Manku block join."""
+    from xqspark.queries import simhash_pairs
+
+    boiler = "identical boilerplate words on every single page here"
+    rows = [(i, boiler) for i in range(40)]
+    # near-dup pair: 60 shared tokens, ONE differs — simhash needs long
+    # docs for stability (a 1-of-10 token swap flips ~7 bits; 1-of-60
+    # flips 1), which is itself worth pinning here
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows += [(100, base), (101, base.replace("tok59", "different"))]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = simhash_pairs(spark, str(tmp_path), word_cap=10).collect()
+    pairs = sorted((r.doc_a, r.doc_b) for r in got)
+    assert pairs == [(100, 101)], pairs  # boilerplate buckets all dropped
+    # without the cap, the identical docs go quadratic: C(40,2) + 1
+    full = simhash_pairs(spark, str(tmp_path), word_cap=10**9)
+    assert full.count() == 40 * 39 // 2 + 1
+
+
 def test_lsh_near_dup_detection_quality(spark, tmp_path):
     """The Carter-Wegman family must actually find NEAR (not just
     identical) duplicates: a ~0.9-shingle-jaccard pair collides at the
