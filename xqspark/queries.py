@@ -1474,18 +1474,9 @@ def q_line_dedup_sql(k: int = 32, hot_cap: int = 256):
     )
 
 
-def winnow_fp(spark, sf_dir, k: int = 3, w: int = 4):
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
-    the MOSS algorithm): hash every k-gram, slide a w-hash window, keep
-    each window's MINIMUM — the selected fingerprint set is guaranteed
-    to share a hash with any copy of length >= w+k-1 tokens, which makes
-    it the standard local-copy / plagiarism detector for text corpora
-    (minhash estimates global similarity; winnowing localizes shared
-    passages). Entirely IN-ROW: k-gram hashes, window minima, and the
-    distinct-set stats are higher-order functions over the token array —
-    a map-only projection, zero shuffle at any scale. Output per doc:
-    fingerprint count, min fingerprint, and an order-insensitive XOR
-    checksum of the distinct set (joinable/comparable downstream)."""
+def _winnow_fps(spark, sf_dir, k: int = 3, w: int = 4) -> DataFrame:
+    """(doc_id, fps): the distinct winnowing fingerprint set per doc —
+    map-only in-row HOFs; shared by winnow_fp and winnow_pairs."""
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
@@ -1503,13 +1494,28 @@ def winnow_fp(spark, sf_dir, k: int = 3, w: int = 4):
             + ", 'UTF-8')), 1, 8), 16, 10) as bigint))"
         ).alias("h"),
     )
-    fps = grams.select(
+    return grams.select(
         "doc_id",
         F.expr(
             f"array_distinct(transform(sequence(0, size(h) - {w}), "
             f"j -> array_min(slice(h, j + 1, {w}))))"
         ).alias("fps"),
     )
+
+
+def winnow_fp(spark, sf_dir, k: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-gram, slide a w-hash window, keep
+    each window's MINIMUM — the selected fingerprint set is guaranteed
+    to share a hash with any copy of length >= w+k-1 tokens, which makes
+    it the standard local-copy / plagiarism detector for text corpora
+    (minhash estimates global similarity; winnowing localizes shared
+    passages). Entirely IN-ROW: k-gram hashes, window minima, and the
+    distinct-set stats are higher-order functions over the token array —
+    a map-only projection, zero shuffle at any scale. Output per doc:
+    fingerprint count, min fingerprint, and an order-insensitive XOR
+    checksum of the distinct set (joinable/comparable downstream)."""
+    fps = _winnow_fps(spark, sf_dir, k, w)
     return fps.select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fps"),
@@ -1520,6 +1526,63 @@ def winnow_fp(spark, sf_dir, k: int = 3, w: int = 4):
 
 def q_winnow_fp(spark, sf_dir):
     return winnow_fp(spark, sf_dir)
+
+
+def winnow_pairs(
+    spark, sf_dir, k: int = 3, w: int = 4, fp_cap: int = 64, min_shared: int = 2
+):
+    """Local-copy candidate pairs — the actual MOSS use of winnowing:
+    two docs sharing ANY selected fingerprint share a passage (of at
+    least k tokens, guaranteed >= w+k-1 detection); ``n_shared`` counts
+    the shared fingerprints as a copy-extent signal. Scale shape: the
+    exploded (doc_id, fp) stream joins bucketed on the fingerprint —
+    never all-pairs — and corpus-wide boilerplate fingerprints above
+    ``fp_cap`` are dropped by the count-window-on-the-join-partitioning
+    trick (lsh band_cap / simhash word_cap pattern), and single-
+    fingerprint chance collisions are cut by ``min_shared`` (sf0.01:
+    3,271 pairs share exactly one fingerprint, the real copy tail runs
+    2..40+)."""
+    ex = _winnow_fps(spark, sf_dir, k, w).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    sized = ex.withColumn("n_fp", F.count("*").over(W.partitionBy("fp")))
+    ok = sized.filter(F.col("n_fp") <= fp_cap).select("doc_id", "fp")
+    a = ok.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = ok.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    return winnow_pairs(spark, sf_dir)
+
+
+def q_winnow_pairs_sql(
+    k: int = 3, w: int = 4, fp_cap: int = 64, min_shared: int = 2
+):
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t "
+        f"FROM documents WHERE len(regexp_extract_all(trim(text), '\\S+')) >= {k + w - 1}), "
+        "grams AS (SELECT doc_id, "
+        f"list_transform(range(1, len(t) - {k - 2}), i -> "
+        f"('0x' || substr(md5({gram}), 1, 8))::BIGINT) AS h FROM toks), "
+        "fps AS (SELECT doc_id, list_distinct("
+        f"list_transform(range(1, len(h) - {w - 2}), "
+        f"j -> list_min(list_slice(h, j, j + {w - 1})))) AS fps FROM grams), "
+        "ex AS (SELECT doc_id, unnest(fps) AS fp FROM fps), "
+        "ok AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, "
+        "count(*) OVER (PARTITION BY fp) AS n_fp FROM ex) "
+        f"WHERE n_fp <= {fp_cap}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared "
+        "FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        f"GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {min_shared}"
+    )
 
 
 def q_winnow_fp_sql(k: int = 3, w: int = 4):
@@ -2436,6 +2499,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "line_dedup": q_line_dedup,
     "winnow_fp": q_winnow_fp,
+    "winnow_pairs": q_winnow_pairs,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_audio": q_multimodal_audio,
@@ -2493,6 +2557,7 @@ ORACLES = {
     "ann_recall": q_ann_recall_sql(),
     "line_dedup": q_line_dedup_sql(),
     "winnow_fp": q_winnow_fp_sql(),
+    "winnow_pairs": q_winnow_pairs_sql(),
     "embedding_neardup": q_embedding_neardup_sql(),
     "multimodal_meta": q_multimodal_meta_sql(),
     "multimodal_audio": q_multimodal_audio_sql(),
