@@ -403,10 +403,14 @@ def test_fused_html_tree_differential():
         '<script><!-- <script>never-closes --></script>tail',
         '<script><!-- no close at all', '<script>a<!--b--></script>c',
         '<script><!-- </script>esc-close -->x',
+        # RCDATA over strands (r4: reconstructs INTO the element now)
+        '<b>x</p><title>strand-title</title>after',
+        '<b>y</p><textarea>strand-ta</textarea>tail',
+        '<p><b><i>two</p><textarea>\nnl-ta</textarea>z',
+        '<b>q</p><title>t1</title><title>t2</title>',
         # known-bail classes, kept in the soup so the FALLBACK path stays
-        # exercised too (RCDATA over strands, frameset, abrupt comments)
-        '<b>x</p><title>strand-title</title>', '<frameset>', '<frame>',
-        '<b>y</p><textarea>strand-ta</textarea>', '<!-->', '<!--->',
+        # exercised too (frameset, abrupt comments)
+        '<frameset>', '<frame>', '<!-->', '<!--->',
     ]
     n_fast = n_fallback = 0
     for _ in range(3500):

@@ -1794,12 +1794,6 @@ def _parse_html_fast(s: str) -> DomNode:
                     if "\x00" in content:
                         content = content.replace("\x00", "�")
                     if name in ("textarea", "title"):
-                        # RCDATA text arrives NON-raw: the general _text
-                        # reconstructs before inserting, cloning stranded
-                        # formatting INSIDE the element — rare combo,
-                        # general path's job
-                        if strands_pending():
-                            raise _TreeFallback
                         content = unescape(content)
                     if (
                         name == "textarea"
@@ -1807,16 +1801,27 @@ def _parse_html_fast(s: str) -> DomNode:
                         and content.startswith("\n")
                     ):
                         content = content[1:]
-                    if content:
+                    if content and name in ("textarea", "title"):
+                        # RCDATA text arrives NON-raw: the general _text
+                        # reconstructs before inserting — stranded
+                        # formatting clones INSIDE the element (it is the
+                        # stack top), and the text lands in the innermost
+                        # clone; the close below pops element + clones,
+                        # stranding them again for the next insertion
+                        reconstruct()
+                        append_text(stack[-1], content)
+                    elif content:
                         append_text(element, content)
                 if close != -1:
                     m2 = end_match(s, pos)
                     if m2 is None or m2.group(1).lower() != name:
                         raise _TreeFallback
                     pos = m2.end()
-                    # any-other-end-tag: the element is on top -> pop
-                    if stack and stack[-1] is element:
-                        stack.pop()
+                    # any-other-end-tag: pop to the element (only our own
+                    # reconstruction clones — never special — sit above)
+                    ei = stack_index(element)
+                    if ei != -1:
+                        del stack[ei:]
             elif name == "plaintext":
                 # PLAINTEXT tokenizer state: EVERYTHING to EOF is raw
                 # text of the element — no entities, no close tag
