@@ -142,6 +142,58 @@ def scan_script(s: str, n: int, pos: int) -> int:
     return n
 
 
+def read_comment(s: str, n: int, start: int):
+    """(raw, data, end_pos) for a comment whose '<!--' begins at
+    ``start``: abrupt closes (<!-->, <!--->), ---> extra-dash swallow,
+    --!> terminators, and EOF truncation of a trailing partial
+    terminator (x/net/html calculateAbruptCommentDataEnd). Shared by
+    the tokenizer and the fused tree fast path so comment spans and
+    data are identical by construction."""
+    # abrupt-closing comments: <!--> and <!---> are empty comments
+    if s.startswith(">", start + 4):
+        return s[start : start + 5], "", start + 5
+    if s.startswith("->", start + 4):
+        return s[start : start + 6], "", start + 6
+    i = start + 4
+    # scan for --> or --!>
+    while True:
+        dash = s.find("--", i)
+        if dash == -1:
+            raw = s[start:n]
+            data = s[start + 4 : n]
+            # EOF-truncated: trim a trailing partial terminator
+            # (--! then -- then -)
+            if data.endswith("--!"):
+                data = data[:-3]
+            elif data.endswith("--"):
+                data = data[:-2]
+            elif data.endswith("-"):
+                data = data[:-1]
+            return raw, _convert_newlines(data).replace("\x00", "�"), n
+        j = dash + 2
+        # swallow extra dashes: ---> ends the comment too
+        while j < n and s[j] == "-":
+            j += 1
+        if j < n and s[j] == ">":
+            data = s[start + 4 : j - 2]
+            return (
+                s[start : j + 1],
+                _convert_newlines(data).replace("\x00", "�"),
+                j + 1,
+            )
+        if j + 1 < n and s[j] == "!" and s[j + 1] == ">":
+            # the --!> terminator is the LAST two dashes + !>; extra
+            # dashes before it belong to the data
+            data = s[start + 4 : j - 2]
+            return (
+                s[start : j + 2],
+                _convert_newlines(data).replace("\x00", "�"),
+                j + 2,
+            )
+        i = dash + 1
+    # unreachable
+
+
 def _convert_newlines(s: str) -> str:
     if "\r" in s:
         s = s.replace("\r\n", "\n").replace("\r", "\n")
@@ -438,49 +490,8 @@ class HtmlTokenizer:
         return self._read_bogus_comment(start)
 
     def _read_comment(self, start: int):
-        s, n = self.s, self.n
-        # abrupt-closing comments: <!--> and <!---> are empty comments
-        if s.startswith(">", start + 4):
-            self.pos = start + 5
-            return HComment(s[start : start + 5], "")
-        if s.startswith("->", start + 4):
-            self.pos = start + 6
-            return HComment(s[start : start + 6], "")
-        i = start + 4
-        # scan for --> or --!>
-        while True:
-            dash = s.find("--", i)
-            if dash == -1:
-                raw = s[start:n]
-                data = s[start + 4 : n]
-                # EOF-truncated: trim a trailing partial terminator
-                # (x/net/html calculateAbruptCommentDataEnd: --! then -- then -)
-                if data.endswith("--!"):
-                    data = data[:-3]
-                elif data.endswith("--"):
-                    data = data[:-2]
-                elif data.endswith("-"):
-                    data = data[:-1]
-                self.pos = n
-                return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
-            j = dash + 2
-            # swallow extra dashes: ---> ends the comment too
-            while j < n and s[j] == "-":
-                j += 1
-            if j < n and s[j] == ">":
-                raw = s[start : j + 1]
-                data = s[start + 4 : j - 2]
-                self.pos = j + 1
-                return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
-            if j + 1 < n and s[j] == "!" and s[j + 1] == ">":
-                raw = s[start : j + 2]
-                # the --!> terminator is the LAST two dashes + !>; extra
-                # dashes before it belong to the data
-                data = s[start + 4 : j - 2]
-                self.pos = j + 2
-                return HComment(raw, _convert_newlines(data).replace("\x00", "�"))
-            i = dash + 1
-        # unreachable
+        raw, data, self.pos = read_comment(self.s, self.n, start)
+        return HComment(raw, data)
 
     def _read_doctype(self, start: int):
         s, n = self.s, self.n

@@ -33,6 +33,7 @@ from .htmltok import (
     HStartTag,
     HText,
     HtmlTokenizer,
+    read_comment,
     scan_script,
 )
 from .textutil import VOID_TAGS
@@ -906,7 +907,10 @@ _F_TBL = 512       # table STRUCTURE start tags (td/tr/tbody/... not table)
 _F_TBLEND = 1024   # table-scoped end tags (incl. table itself)
 _F_MARKERELT = 2048  # applet/marquee/object: insert + formatting marker
 
-_FAST_BAIL_TAGS = frozenset(("frameset", "frame"))
+# r4: empty — the general builder has no special frameset/frame rules
+# (both are plain _SPECIAL elements there), so nothing needs to bail by
+# tag name anymore; kept for the day a tag genuinely needs it
+_FAST_BAIL_TAGS = frozenset()
 
 
 def _build_fast_flags() -> dict:
@@ -1973,20 +1977,10 @@ def _parse_html_fast(s: str) -> DomNode:
         # -- markup declaration / comment / doctype --
         if c == "!":
             if s.startswith("<!--", pos):
-                i = pos + 4
-                if s.startswith(">", i) or s.startswith("->", i):
-                    raise _TreeFallback  # abrupt comment close
-                end = s.find("-->", i)
-                if end == -1:
-                    raise _TreeFallback
-                data = s[i:end]
-                if "--" in data or data.endswith("-"):
-                    raise _TreeFallback  # tricky terminators: general path
-                pos = end + 3
-                if "\r" in data:
-                    data = data.replace("\r\n", "\n").replace("\r", "\n")
-                if "\x00" in data:
-                    data = data.replace("\x00", "�")
+                # the SHARED comment reader (abrupt closes, ---> and --!>
+                # terminators, EOF truncation) — identical spans/data to
+                # the tokenizer by construction
+                _raw_c, data, pos = read_comment(s, n, pos)
                 node = DomNode(COMMENT, data)
                 node.order = order
                 order += 1
