@@ -9,6 +9,8 @@
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,9 +23,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["xpath_title"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness harness caps at 50 rows while the catalog has
+# grown past it, so dict ORDER decides which ops get a driver row each
+# round. Deterministic round-robin: rotate the catalog left by 5 per
+# completed round (counted from committed CORRECTNESS_r*.json files), so
+# the 5 ops past the cap shift every round and every op is
+# driver-checked at least 10 of every 11 rounds (VERDICT r4 #1 — before
+# this, the last 5 dict entries were simply never checked).
+_ROUNDS_DONE = len(
+    glob.glob(os.path.join(os.path.dirname(__file__), "CORRECTNESS_r*.json"))
+)
+
+
+def _rotated(d: dict) -> dict:
+    keys = list(d)
+    k = (_ROUNDS_DONE * 5) % len(keys)
+    return {name: d[name] for name in keys[k:] + keys[:k]}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _rotated(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _rotated(ORACLES)

@@ -157,6 +157,33 @@ def test_embedding_neardup_cap_adds_no_big_side_exchange(spark):
     assert "windowspecdefinition(label" in plan  # the cap's count window
 
 
+def test_lsh_pairs_reuses_signature_exchange_in_final_plan(spark):
+    """VERDICT r4 #6: the band self-join's two sides share ONE signature
+    computation — after execution, AQE's finalized plan must carry a
+    ReusedExchange for the second hashpartitioning(band) subtree. Fails
+    if a future change (e.g. divergent per-side projections) makes the
+    join recompute the map-only signature stage per side."""
+    df = QUERIES["lsh_pairs"](spark, SF_DIR)
+    df.collect()  # materialize THIS df so its own AQE plan finalizes
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert "ReusedExchange" in plan, plan[:3000]
+
+
+def test_ann_recall_floor(spark):
+    """VERDICT r4 #2: oracle parity can't catch a quantizer regression —
+    both engines agree on a degraded recall. Pin the absolute value: the
+    deterministic sf0.01 corpus currently measures recall@3 =
+    [2/3, 1, 2/3, 1, 1] (mean 0.867). A Lloyd/IVF change that stops
+    finding true neighbors must FAIL here, not just move a green row."""
+    rows = QUERIES["ann_recall"](spark, SF_DIR).collect()
+    by_q = {r["query_id"]: r["recall_at_3"] for r in rows}
+    assert len(by_q) == 5
+    assert all(v >= 0.6666 for v in by_q.values()), by_q
+    mean = sum(by_q.values()) / len(by_q)
+    assert mean >= 0.85, by_q
+
+
 def test_lsh_band_count_reuses_join_partitioning(spark):
     """The band-cap count window must ride hashpartitioning(band) —
     adding the cap may not add a shuffle of the big side per branch."""
@@ -202,6 +229,36 @@ def test_line_dedup_clean_pass_is_map_only(spark):
     assert (rows["lo"], rows["hi"]) == (2, 2)
     nothing_hot = line_dedup(spark, SF_DIR, k=10_000)
     assert nothing_hot.agg(F.sum("n_dropped")).collect()[0][0] == 0
+
+
+def test_line_dedup_broadcast_mode_parity_and_map_only(spark):
+    """VERDICT r4 #3: the broadcast fallback the inline docstring
+    promises must exist. Claims: (1) at default caps both modes agree
+    exactly; (2) when hot_cap truncates, the inline mode says so
+    (on_truncated fires with the TRUE hot count) while broadcast mode
+    ignores the cap and still drops everything hot; (3) the broadcast
+    clean pass stays map-only — text never shuffles."""
+    from xqspark.queries import line_dedup
+
+    inline = {tuple(r) for r in line_dedup(spark, SF_DIR).collect()}
+    bcast_df = line_dedup(spark, SF_DIR, mode="broadcast")
+    bcast = {tuple(r) for r in bcast_df.collect()}
+    assert inline == bcast
+
+    plan = plan_of(bcast_df)
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Generate" not in plan, plan[:1500]
+    assert "ArrowEvalPython" in plan or "Python" in plan  # the bc-set UDF
+
+    # sf0.01 has 8 hot lines (5 nav + 3 footer variants); cap at 2
+    seen = []
+    trunc = line_dedup(spark, SF_DIR, hot_cap=2, on_truncated=seen.append)
+    n_trunc = trunc.agg(F.sum("n_dropped")).collect()[0][0]
+    assert seen == [8]  # no-silent-caps: callback carries the true count
+    n_full = bcast_df.agg(F.sum("n_dropped")).collect()[0][0]
+    assert n_trunc < n_full  # truncation really under-dedups
+    # and broadcast == inline with a cap big enough to hold everything
+    assert bcast == {tuple(r) for r in line_dedup(spark, SF_DIR, hot_cap=256).collect()}
 
 
 def test_winnow_fp_is_map_only_and_detects_shared_passages(spark):

@@ -878,21 +878,28 @@ class _TreeFallback(Exception):
 
 # --- fused tokenizer + tree builder fast path -------------------------------
 #
-# Invariants that make the shortcut tree equal the WHATWG tree:
-# * no template/applet/marquee/object/nobr/plaintext/frameset anywhere
-#   (their insertion modes bail); selects, forms, buttons, and tables
-#   are handled with general-path parity (in-select ignores never create
-#   elements, so the formatting list stays untouched);
+# Invariants that make the shortcut tree equal the WHATWG tree (r4):
+# * the active formatting list is mirrored exactly (markers included,
+#   Noah's Ark at push) and the FULL adoption agency runs here —
+#   furthest-block loop, bookmark arithmetic, <a> re-adoption — 1:1
+#   with HtmlTreeBuilder; pops that strand a live afe entry no longer
+#   bail: the stranded entry is re-opened as a clone by reconstruct()
+#   at the next insertion point, at exactly the call sites the general
+#   builder reconstructs (text after the pre-newline rule, formatting
+#   starts, marker elements, </br>, and generic starts that are button
+#   / not-special / _RECONSTRUCT_SPECIALS);
 # * TABLES are supported in their legal shapes — clear-to-context,
 #   implied tbody/tr/colgroup, cell markers clearing the formatting
-#   scope — but anything that would FOSTER-PARENT (character data or an
-#   illegal element directly inside table/tbody/thead/tfoot/tr) bails;
-# * the active formatting list is mirrored exactly (markers included):
-#   a formatting element may leave the stack only via its own matching
-#   end tag while current (AAA simple case) or together with its
-#   enclosing cell (marker clear) — any pop that would leave a live
-#   entry behind (and so trigger reconstruction or a real adoption-
-#   agency run in the general builder) bails.
+#   scope — AND foster-parenting relocates text and illegal elements
+#   before the last open <table>, mirroring _foster_insert; the only
+#   table bail left is a fosterable insert with no table parent;
+# * selects, forms, buttons, applet/marquee/object, nobr, plaintext,
+#   frameset are all handled with general-path parity (in-select
+#   ignores never create elements, so the formatting list stays
+#   untouched);
+# * remaining bails: no fosterable table parent, in-select RCDATA over
+#   stranded formatting entries, and malformed tags the single-regex
+#   tokenizer pass can't classify.
 
 _F_STRUCT = 1      # html/head/body
 _F_BAIL = 2
@@ -925,8 +932,7 @@ def _build_fast_flags() -> dict:
     add(_HEAD_ONLY, _F_HEAD_ONLY)
     add(VOID_TAGS, _F_VOID)
     add(_IMMEDIATE_POP, _F_VOID)
-    add(_CLOSES_P, _F_CLOSES_P)
-    add(("plaintext",), _F_CLOSES_P)  # WHATWG: plaintext closes an open p
+    add(_CLOSES_P, _F_CLOSES_P)  # includes plaintext (WHATWG closes-p set)
     add(_FORMATTING, _F_FMT)
     add(("li", "dd", "dt"), _F_SIB)
     add(RAW_TEXT_TAGS - {"plaintext"}, _F_RAW)
@@ -1019,12 +1025,6 @@ def _parse_html_fast(s: str) -> DomNode:
     def on_stack(e) -> bool:
         for nd in stack:
             if nd is e:
-                return True
-        return False
-
-    def on_stack_afe(e) -> bool:
-        for x in afe:
-            if x is e:
                 return True
         return False
 
@@ -1745,8 +1745,9 @@ def _parse_html_fast(s: str) -> DomNode:
                     # fostered subtree like the general path; auto-close
                     # side effects already ran above with parity; the
                     # dirty re-walk restores document order; an implied
-                    # pop that would strand an afe entry still bails via
-                    # pop_slice/check_popped; raw/RCDATA swallow below
+                    # pop that strands an afe entry is re-opened by
+                    # reconstruct() at the next insertion point, same as
+                    # the general builder; raw/RCDATA swallow below
                     # targets `element` directly, so a fostered <script>
                     # keeps its content.
                     if not foster_before_table(element):

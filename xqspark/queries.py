@@ -17,6 +17,7 @@ Three families:
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
+
+_LOG = logging.getLogger("xqspark")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,7 +787,7 @@ def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
 
     Hash family (r4): one md5 per shingle (first 8 hex chars -> 32-bit
     base hash), then n_hashes universal permutations
-    (a_k*h + b_k) mod (2^61-1) — digest cost is constant in n_hashes
+    (a_k*h + b_k) mod (2^31-1) — digest cost is constant in n_hashes
     (the 16x4 LSH shape was paying 16 md5s per shingle before)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
@@ -1405,20 +1408,38 @@ def _doc_lines(spark, sf_dir):
     )
 
 
-def line_dedup(spark, sf_dir, k: int = 32, hot_cap: int = 256):
+def line_dedup(
+    spark,
+    sf_dir,
+    k: int = 32,
+    hot_cap: int = 256,
+    mode: str = "inline",
+    on_truncated=None,
+):
     """C4-style corpus-level LINE deduplication: drop every line that
     occurs more than ``k`` times across the corpus (boilerplate nav/
     footer/cookie banners), keep unique content. Scale shape: the only
-    full shuffle carries (md5(line), partial count) — map-side combined;
-    the hot set (bounded by total_lines/k, then capped deterministically
-    at ``hot_cap`` by count desc, hash asc) becomes PLAN LITERALS for a
-    map-only filter over the in-row line array, so document text never
-    moves — the same driver-fetch-of-training-state pattern as the IVF
-    centroids (queries.py:_seed_centroids). For hot sets too large to
-    inline at extreme scale, the fallback is a broadcast semi-join per
-    line + regroup (costs a text shuffle); the capped inline path is the
-    one this catalog ships because real boilerplate vocabularies are
-    small."""
+    full shuffle carries (md5(line), partial count) — map-side combined.
+
+    ``mode="inline"`` (shipped in the catalog): the hot set (bounded by
+    total_lines/k, then capped deterministically at ``hot_cap`` by
+    count desc, hash asc) becomes PLAN LITERALS for a map-only filter
+    over the in-row line array, so document text never moves — the same
+    driver-fetch-of-training-state pattern as the IVF centroids
+    (queries.py:_seed_centroids). If the corpus has MORE than
+    ``hot_cap`` hot lines the cap truncates (everything past it is
+    kept, i.e. under-dedup); that is never silent: a warning is logged
+    and ``on_truncated(n_hot_total)`` fires with the true hot count.
+
+    ``mode="broadcast"`` (the fallback the inline docstring promises,
+    r5): NO cap — the full hot-hash set ships to executors as a Spark
+    BROADCAST variable and an Arrow-batched pandas UDF does set-
+    membership per line. Still map-only (a projection over the scan —
+    zero Exchange, text never shuffles, plan-asserted); the cost is one
+    Python hop, which is why the literal path stays the default for the
+    small vocabularies real boilerplate produces."""
+    if mode not in ("inline", "broadcast"):
+        raise ValueError(f"line_dedup mode must be inline|broadcast: {mode}")
     lines_df = _doc_lines(spark, sf_dir)
     counts = (
         lines_df.select(F.explode("lines").alias("line"))
@@ -1427,25 +1448,62 @@ def line_dedup(spark, sf_dir, k: int = 32, hot_cap: int = 256):
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > k)
         .orderBy(F.desc("c"), F.asc("h"))
-        .limit(hot_cap)
     )
-    hot = [r["h"] for r in counts.collect()]
+    if mode == "inline":
+        # hot_cap+1 so truncation is detectable without a second action
+        hot = [r["h"] for r in counts.limit(hot_cap + 1).collect()]
+        if len(hot) > hot_cap:
+            # the true count needs its own action; only pay it on the
+            # already-rare truncation path
+            n_hot_total = counts.count()
+            _LOG.warning(
+                "line_dedup: hot set truncated at hot_cap=%d (%d hot lines"
+                " total) — lines past the cap are KEPT; use"
+                " mode='broadcast' for exact corpus-wide dedup",
+                hot_cap,
+                n_hot_total,
+            )
+            if on_truncated is not None:
+                on_truncated(n_hot_total)
+            hot = hot[:hot_cap]
+    else:
+        hot = [r["h"] for r in counts.collect()]
     out = lines_df.select(
         "doc_id", F.size("lines").cast("long").alias("n_lines"), "lines"
     )
-    if hot:
+    if not hot:
+        clean = F.col("lines")
+    elif mode == "inline":
         hot_lit = "array(" + ", ".join(f"'{h}'" for h in hot) + ")"
         clean = F.expr(
             f"filter(lines, x -> NOT array_contains({hot_lit}, "
             "md5(encode(x, 'UTF-8'))))"
         )
     else:
-        clean = F.col("lines")
-    return out.select(
+        hot_bc = spark.sparkContext.broadcast(frozenset(hot))
+
+        @F.pandas_udf("array<string>")
+        def _drop_hot(lines_s):
+            import hashlib
+
+            hot_set = hot_bc.value
+            return lines_s.map(
+                lambda lines: [
+                    x
+                    for x in lines
+                    if hashlib.md5(x.encode("utf-8")).hexdigest() not in hot_set
+                ]
+            )
+
+        clean = _drop_hot("lines")
+    clean_df = out.select("doc_id", "n_lines", clean.alias("clean"))
+    return clean_df.select(
         "doc_id",
         "n_lines",
-        (F.col("n_lines") - F.size(clean)).cast("long").alias("n_dropped"),
-        F.md5(F.encode(F.concat_ws("\n", clean), "UTF-8")).alias("clean_fp"),
+        (F.col("n_lines") - F.size("clean")).cast("long").alias("n_dropped"),
+        F.md5(F.encode(F.concat_ws("\n", F.col("clean")), "UTF-8")).alias(
+            "clean_fp"
+        ),
     )
 
 
