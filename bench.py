@@ -122,6 +122,7 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
         "main_content",
         "line_dedup",
         "winnow_fp",
+        "winnow_pairs",
         "simhash_pairs",
     ]
     spark = build_session(cpus=cpus, app="xq-bench")
@@ -197,6 +198,7 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
             ),
         }
         resume = _resume_bench(spark)
+        skewed_caps = _skewed_caps_bench(spark, sf_dir)
     finally:
         spark.stop()
     total = round(sum(timings.values()), 3)
@@ -211,9 +213,92 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
         "cpus": cpus,
         "extract_docs_per_sec": ext["docs_per_sec"],
         "lsh_16x4_dropped_hot_bands": dropped[-1] if dropped else 0,
+        "skewed_caps": skewed_caps,
         "task_skew": skew,
         "resume": resume,
     }
+
+
+def _skewed_caps_bench(spark, sf_dir: str, n_boiler: int = 300) -> dict:
+    """VERDICT r4 #5: the hot-key caps must fire on MEASURED bench data,
+    not only synthetic pytest corpora. Build a skewed-boilerplate
+    variant of the bench corpus — the sf documents table plus
+    ``n_boiler`` copies of one cookie-banner page (the multi-site crawl
+    shape BASELINE.md's skewed-host mandate is about) — and run the
+    three capped pairing ops on it. Every cap must report dropped hot
+    keys, and the drop must do its job: zero quadratic boiler-boiler
+    pairs in any output (16x4 LSH: all 16 bands of the clones blow
+    band_cap=64; simhash: all 4 words blow word_cap=256; winnow: every
+    clone fingerprint blows fp_cap=64)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xqspark.queries import lsh_pairs, simhash_pairs, winnow_pairs
+
+    boiler_text = (
+        "cookie consent this site uses cookies to improve your experience "
+        "accept all decline manage preferences privacy policy terms of "
+        "service all rights reserved subscribe to our newsletter"
+    )
+    d = tempfile.mkdtemp(prefix="xq_bench_skew_")
+    out: dict = {"boiler_docs": n_boiler}
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        boiler = spark.range(n_boiler).select(
+            (F.col("id") + mx + 1).alias("doc_id"),
+            F.lit(boiler_text).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("boilerplate").alias("source"),
+            F.lit(len(boiler_text)).cast("long").alias("n_chars"),
+        )
+        docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+            boiler
+        ).write.parquet(f"{d}/documents.parquet")
+
+        def run(name, fn):
+            dropped: list[int] = []
+            cache: list = []
+            t0 = time.perf_counter()
+            df = fn(dropped.append, cache)
+            n_boiler_pairs = df.filter(
+                (F.col("doc_a") > mx) & (F.col("doc_b") > mx)
+            ).count()
+            sec = time.perf_counter() - t0
+            for c in cache:
+                c.unpersist()
+            assert dropped and dropped[-1] > 0, (name, dropped)
+            assert n_boiler_pairs == 0, (name, n_boiler_pairs)
+            out[name] = {
+                "dropped_hot_keys": dropped[-1],
+                "boiler_boiler_pairs": n_boiler_pairs,
+                "seconds": round(sec, 3),
+            }
+
+        run(
+            "lsh_16x4",
+            lambda cb, cache: lsh_pairs(
+                spark, d, n_bands=16, n_rows=4, band_cap=64,
+                on_dropped=cb, cache_out=cache,
+            ),
+        )
+        run(
+            "simhash_pairs",
+            lambda cb, cache: simhash_pairs(
+                spark, d, on_dropped=cb, cache_out=cache
+            ),
+        )
+        run(
+            "winnow_pairs",
+            lambda cb, cache: winnow_pairs(
+                spark, d, on_dropped=cb, cache_out=cache
+            ),
+        )
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _warm_python_workers(spark, cpus: int) -> None:

@@ -309,6 +309,20 @@ def test_winnow_fp_is_map_only_and_detects_shared_passages(spark):
     assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
 
 
+def test_winnow_pairs_fps_not_inlined_into_scan_filter(spark):
+    """r5 regression guard (44x): explode over the fps array must NOT
+    let Catalyst infer a size(fps) > 0 filter and push it to the scan —
+    the pushed filter inlines the whole fps expression, and inside the
+    inlined window lambda the k-gram md5 transform re-evaluates PER
+    WINDOW (quadratic per doc; measured 59 s at sf0.01). With the
+    explode_outer fix, no scan DataFilter may contain md5."""
+    from xqspark.queries import winnow_pairs
+
+    plan = plan_of(winnow_pairs(spark, SF_DIR))
+    for seg in plan.split("DataFilters:")[1:]:
+        assert "md5" not in seg.split("]")[0], seg[:400]
+
+
 def test_simhash_pairs_is_block_join_not_cross(spark):
     """Manku block technique: candidates come from a bucketed equi-join
     on (word_idx, word_val) — never an all-pairs scan; the hot-word cap

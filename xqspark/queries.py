@@ -1587,7 +1587,14 @@ def q_winnow_fp(spark, sf_dir):
 
 
 def winnow_pairs(
-    spark, sf_dir, k: int = 3, w: int = 4, fp_cap: int = 64, min_shared: int = 2
+    spark,
+    sf_dir,
+    k: int = 3,
+    w: int = 4,
+    fp_cap: int = 64,
+    min_shared: int = 2,
+    on_dropped=None,
+    cache_out: list | None = None,
 ):
     """Local-copy candidate pairs — the actual MOSS use of winnowing:
     two docs sharing ANY selected fingerprint share a passage (of at
@@ -1599,11 +1606,38 @@ def winnow_pairs(
     trick (lsh band_cap / simhash word_cap pattern), and single-
     fingerprint chance collisions are cut by ``min_shared`` (sf0.01:
     3,271 pairs share exactly one fingerprint, the real copy tail runs
-    2..40+)."""
-    ex = _winnow_fps(spark, sf_dir, k, w).select(
-        "doc_id", F.explode("fps").alias("fp")
+    2..40+).
+
+    ``on_dropped(n_hot_fps)`` / ``cache_out`` follow the lsh_pairs
+    contract: no-silent-caps reporting of how many corpus-wide
+    fingerprints the cap removed, at the cost of one extra action over
+    the persisted exploded stream.
+
+    explode_OUTER on purpose (r5, 44x): plain explode makes Catalyst
+    infer a ``size(fps) > 0`` pruning filter and push it to the scan,
+    INLINING the whole fps expression tree into the filter — and inside
+    the inlined window lambda the k-gram md5 transform is an outer
+    subexpression re-evaluated PER WINDOW, turning the per-doc cost
+    quadratic (measured 59 s -> 1.3 s at sf0.01). fps is never empty
+    for docs passing the >= w+k-1 token gate, so the cheap post-explode
+    null filter is semantically identical."""
+    ex = (
+        _winnow_fps(spark, sf_dir, k, w)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
     sized = ex.withColumn("n_fp", F.count("*").over(W.partitionBy("fp")))
+    if on_dropped is not None:
+        sized = sized.persist()
+        if cache_out is not None:
+            cache_out.append(sized)
+        n_hot = (
+            sized.filter(F.col("n_fp") > fp_cap)
+            .select("fp")
+            .distinct()
+            .count()
+        )
+        on_dropped(n_hot)
     ok = sized.filter(F.col("n_fp") <= fp_cap).select("doc_id", "fp")
     a = ok.select(F.col("doc_id").alias("doc_a"), "fp")
     b = ok.select(F.col("doc_id").alias("doc_b"), "fp")
@@ -2441,7 +2475,14 @@ def q_simhash_sql():
     )
 
 
-def simhash_pairs(spark, sf_dir, max_hamming: int = 3, word_cap: int = 256):
+def simhash_pairs(
+    spark,
+    sf_dir,
+    max_hamming: int = 3,
+    word_cap: int = 256,
+    on_dropped=None,
+    cache_out: list | None = None,
+):
     """SimHash near-duplicate pairs — the Manku/Jain/Das Sarma (WWW'07)
     block technique: two 64-bit signatures within hamming distance <= 3
     must agree EXACTLY on at least one of the four 16-bit words, so
@@ -2463,6 +2504,19 @@ def simhash_pairs(spark, sf_dir, max_hamming: int = 3, word_cap: int = 256):
     sized = melted.withColumn(
         "n_w", F.count("*").over(W.partitionBy("wi", "wv"))
     )
+    if on_dropped is not None:
+        # no-silent-caps: report how many (word_idx, word_val) buckets
+        # the cap removed (lsh_pairs on_dropped contract)
+        sized = sized.persist()
+        if cache_out is not None:
+            cache_out.append(sized)
+        n_hot = (
+            sized.filter(F.col("n_w") > word_cap)
+            .select("wi", "wv")
+            .distinct()
+            .count()
+        )
+        on_dropped(n_hot)
     ok = sized.filter(F.col("n_w") <= word_cap).drop("n_w")
     a = ok.select(
         F.col("doc_id").alias("doc_a"),
