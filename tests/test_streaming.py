@@ -185,6 +185,91 @@ def test_dedup_stream_rotation_through_operator(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_dedup_stream_ttl_expiry_under_available_now(spark):
+    """VERDICT r4 #8: TTL must be testable under trigger(availableNow).
+    Read-time expiry (no processing-time timers): drain run 1 seeds the
+    state and TERMINATES; after sleeping past the TTL, drain run 2 on
+    the same checkpoint sees the state as expired, so the SAME urls
+    pass again. A no-TTL control on the same inputs drops them."""
+    import time
+
+    from xqspark.streaming import dedup_stream
+
+    def run(ttl_minutes, tag):
+        base = tempfile.mkdtemp(prefix=f"xq_dedup_ttl_{tag}_")
+        src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+        try:
+            pages = synthesize_pages(spark, n_rows=40, n_hosts=4)
+            pages.coalesce(1).write.parquet(src)
+
+            def drain():
+                # durable sink: the memory sink can't recover from a
+                # checkpoint, and checkpoint recovery IS the scenario
+                stream = (
+                    spark.readStream.schema(pages.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                q = (
+                    dedup_stream(stream, ttl_minutes=ttl_minutes)
+                    .writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(300), "drain run must terminate"
+
+            drain()
+            time.sleep(2.5)  # past the 2.4 s TTL (when one is set)
+            # replay the SAME 40 urls as a new file
+            pages.coalesce(1).write.mode("append").parquet(src)
+            drain()
+            return spark.read.parquet(out).count()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    assert run(0.04, "on") == 80  # state expired -> replayed urls re-pass
+    assert run(0, "off") == 40  # control: no TTL -> replays dropped
+
+
+@pytest.mark.skipif(
+    not __import__("xqspark.streaming", fromlist=["_tws_available"])._tws_available(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_dedup_stream_tws_engine(spark):
+    """When protobuf is present, the transformWithStateInPandas engine
+    must produce the same dedup output as the apply engine."""
+    from xqspark.streaming import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="xq_dedup_tws_")
+    src, ckpt = f"{base}/src", f"{base}/ckpt"
+    try:
+        pages = synthesize_pages(spark, n_rows=100, n_hosts=5)
+        pages.coalesce(1).write.parquet(src)
+        pages.limit(30).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(pages.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            dedup_stream(stream, engine="tws")
+            .writeStream.format("memory")
+            .queryName("dedup_tws")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        urls = [r["url"] for r in spark.sql("select url from dedup_tws").collect()]
+        assert len(urls) == len(set(urls)) == 100
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_bloom_indexes_support_any_k():
     from xqspark.streaming import _bloom_indexes
 

@@ -89,14 +89,82 @@ def _bloom_add(buf: bytearray, idxs) -> None:
         buf[i >> 3] |= 1 << (i & 7)
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas' Python state server speaks protobuf;
+    containers without google.protobuf can only run the
+    applyInPandasWithState engine (import-try gate, not a version
+    check: pyspark 4 is present either way)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_OUT_SCHEMA_DDL = "url string, warc_ts timestamp, html binary, lang string"
+_STATE_SCHEMA_DDL = "cur binary, prev binary, n_cur long, last_ms long"
+
+
+def _bloom_state_fns(bloom_bits: int, bloom_hashes: int, ttl_ms: int):
+    """(load, filter_batch, pack) closures shared by both streaming
+    engines — the Bloom-generation dedup logic and the READ-TIME TTL
+    rule live here once, so engine choice cannot change semantics.
+
+    TTL is enforced on state READ (the same rule transformWithState's
+    native ttlDurationMs applies): state older than ttl_ms reads back
+    as absent. No processing-time TIMERS anywhere — timer cleanup
+    batches are what made applyInPandasWithState + ProcessingTimeTimeout
+    never terminate under trigger(availableNow); read-time expiry
+    drains and stops."""
+    import time as _time
+
+    capacity = max(1, bloom_bits // (4 * bloom_hashes))
+    n_bytes = bloom_bits >> 3
+
+    def load(stored):
+        """stored: (cur, prev, n_cur, last_ms) tuple or None."""
+        if stored is not None:
+            cur_b, prev_b, n_cur, last_ms = stored
+            if ttl_ms <= 0 or (_time.time() * 1000 - last_ms) <= ttl_ms:
+                return bytearray(cur_b), bytes(prev_b), n_cur
+        return bytearray(n_bytes), bytes(n_bytes), 0
+
+    def filter_batch(batch, cur, prev, n_cur):
+        """-> (fresh_rows_df, cur, prev, n_cur)"""
+        import pandas as pd
+
+        mask = []
+        for url in batch["url"]:
+            idxs = _bloom_indexes(url, bloom_bits, bloom_hashes)
+            if _bloom_has(cur, idxs) or _bloom_has(prev, idxs):
+                mask.append(False)
+                continue
+            _bloom_add(cur, idxs)
+            n_cur += 1
+            if n_cur >= capacity:  # rotate generations
+                prev = bytes(cur)
+                cur = bytearray(n_bytes)
+                n_cur = 0
+            mask.append(True)
+        fresh = batch[pd.Series(mask, index=batch.index)]
+        return fresh[["url", "warc_ts", "html", "lang"]], cur, prev, n_cur
+
+    def pack(cur, prev, n_cur):
+        return (bytes(cur), prev, n_cur, int(_time.time() * 1000))
+
+    return load, filter_batch, pack
+
+
 def dedup_stream(
     pages: DataFrame,
-    ttl_minutes: int = 0,
+    ttl_minutes: float = 0,
     bloom_bits: int = 1 << 20,
     bloom_hashes: int = 4,
+    engine: str | None = None,
 ) -> DataFrame:
     """Custom stateful operator: cross-microbatch first-seen URL dedup,
-    keyed by url-host, via applyInPandasWithState.
+    keyed by url-host.
 
     State per host is BOUNDED at 2 x bloom_bits/8 bytes regardless of how
     many URLs the host has seen: two rotating-generation Bloom filters
@@ -109,85 +177,88 @@ def dedup_stream(
     trade (0.2% loss for O(1) state on a 10^8-url host) is the standard
     one. For exact small-scale dedup use batch `dedup_groups`.
 
-    ttl_minutes > 0 adds ProcessingTimeTimeout whole-state eviction for
-    long-running continuous jobs. Leave it 0 for availableNow/batch-drain
-    runs: with a processing-time timeout, Spark keeps scheduling
-    "no new data but cleaning up state" batches until the TTL fires,
-    so a drain-and-stop trigger never terminates.
+    ``engine`` (r5): ``"tws"`` = Spark 4 transformWithStateInPandas
+    (RocksDB state store; requires google.protobuf for the Python state
+    server), ``"apply"`` = applyInPandasWithState, ``None`` = tws when
+    protobuf is importable else apply. Both engines run the SAME
+    closures from _bloom_state_fns, so results are identical.
 
-    UPGRADE NOTE (round 2): the state schema changed from the unbounded
-    ``seen: array<binary>`` to the bounded ``(cur, prev, n_cur)`` Bloom
-    generations. Streaming checkpoints written by the old operator are
-    incompatible — discard the checkpoint directory (reprocess from the
-    source) when upgrading; resuming on old state will fail or misread.
-    Behavior also shifts from exact dedup to ~0.2%-false-positive dedup
-    (a never-seen URL can be dropped), the standard trade for O(1) state."""
-    import pandas as pd
+    ttl_minutes > 0 is whole-state READ-TIME expiry in BOTH engines: a
+    host whose state wasn't updated within the TTL reads back as absent
+    and its URLs re-pass. No processing-time timers — the old
+    ProcessingTimeTimeout path kept scheduling "no new data" cleanup
+    batches so a drain-and-stop trigger never terminated; read-time TTL
+    terminates under ``trigger(availableNow=True)`` and is covered by
+    test_streaming.py::test_dedup_stream_ttl_expiry_under_available_now.
+
+    UPGRADE NOTE: checkpoint state is NOT portable — the r5 state tuple
+    gained ``last_ms`` (old (cur, prev, n_cur) checkpoints are
+    incompatible, as was the r2 array->Bloom change), and the two
+    engines' state layouts differ from each other. Discard the
+    checkpoint directory and reprocess when switching."""
+    ttl_ms = int(ttl_minutes * 60 * 1000) if ttl_minutes > 0 else 0
+    load, filter_batch, pack = _bloom_state_fns(bloom_bits, bloom_hashes, ttl_ms)
+    if engine is None:
+        engine = "tws" if _tws_available() else "apply"
+    keyed = with_host_salt(pages).select("host", "url", "warc_ts", "html", "lang")
+
+    if engine == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _BloomDedup(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                # TTL is applied by load() at read time (identical rule
+                # to native ttlDurationMs, shared with the apply engine)
+                self._bloom = handle.getValueState("bloom", _STATE_SCHEMA_DDL)
+
+            def handleInputRows(self, key, rows, timer_values):
+                cur, prev, n_cur = load(self._bloom.get())
+                for batch in rows:
+                    fresh, cur, prev, n_cur = filter_batch(
+                        batch, cur, prev, n_cur
+                    )
+                    if len(fresh):
+                        yield fresh
+                self._bloom.update(pack(cur, prev, n_cur))
+
+            def close(self) -> None:
+                pass
+
+        # transformWithState runs on the RocksDB state store only
+        pages.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        return keyed.groupBy("host").transformWithStateInPandas(
+            _BloomDedup(),
+            outputStructType=_OUT_SCHEMA_DDL,
+            outputMode="append",
+            timeMode="None",
+        )
+
+    if engine != "apply":
+        raise ValueError(f"dedup_stream engine must be tws|apply|None: {engine}")
+
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(
-        [
-            T.StructField("url", T.StringType()),
-            T.StructField("warc_ts", T.TimestampType()),
-            T.StructField("html", T.BinaryType()),
-            T.StructField("lang", T.StringType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("cur", T.BinaryType()),
-            T.StructField("prev", T.BinaryType()),
-            T.StructField("n_cur", T.LongType()),
-        ]
-    )
-    # rotation capacity keeps fill ~= k*n/bits at 0.25 for ANY k
-    capacity = max(1, bloom_bits // (4 * bloom_hashes))
-    n_bytes = bloom_bits >> 3
 
     def dedup(key, batches, state: GroupState):
-        if state.hasTimedOut:
-            state.remove()
-            return
-        if state.exists:
-            cur_b, prev_b, n_cur = state.get
-            cur = bytearray(cur_b)
-            prev = bytes(prev_b)
-        else:
-            cur, prev, n_cur = bytearray(n_bytes), bytes(n_bytes), 0
+        cur, prev, n_cur = load(state.get if state.exists else None)
         for batch in batches:
-            mask = []
-            for url in batch["url"]:
-                idxs = _bloom_indexes(url, bloom_bits, bloom_hashes)
-                if _bloom_has(cur, idxs) or _bloom_has(prev, idxs):
-                    mask.append(False)
-                    continue
-                _bloom_add(cur, idxs)
-                n_cur += 1
-                if n_cur >= capacity:  # rotate generations
-                    prev = bytes(cur)
-                    cur = bytearray(n_bytes)
-                    n_cur = 0
-                mask.append(True)
-            fresh = batch[pd.Series(mask, index=batch.index)]
+            fresh, cur, prev, n_cur = filter_batch(batch, cur, prev, n_cur)
             if len(fresh):
-                yield fresh[["url", "warc_ts", "html", "lang"]]
-        state.update((bytes(cur), prev, n_cur))
-        if ttl_minutes > 0:
-            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+                yield fresh
+        state.update(pack(cur, prev, n_cur))
 
-    timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_minutes > 0
-        else GroupStateTimeout.NoTimeout
-    )
-    keyed = with_host_salt(pages).select("host", "url", "warc_ts", "html", "lang")
     return keyed.groupBy("host").applyInPandasWithState(
         dedup,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
+        outputStructType=_OUT_SCHEMA_DDL,
+        stateStructType=_STATE_SCHEMA_DDL,
         outputMode="append",
-        timeoutConf=timeout_conf,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
