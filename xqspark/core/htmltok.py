@@ -142,6 +142,26 @@ def scan_script(s: str, n: int, pos: int) -> int:
     return n
 
 
+def scan_raw_end(s: str, n: int, pos: int, needle: str) -> int:
+    """Index where the close tag ``needle`` (e.g. "</style") followed by
+    a boundary char (whitespace, '/' or '>') begins, or n. The
+    x/net/html readRawEndTag rule: an EOF-abutting '</tag' is NOT a
+    close tag (stays in the text). Case-insensitive without lowering the
+    buffer. Shared by the tokenizer's raw/RCDATA swallow and the fused
+    formatter fast path so both see identical raw spans."""
+    ln = len(needle)
+    i = pos
+    while True:
+        i = s.find("<", i)
+        if i == -1 or i + ln > n:
+            return n
+        if s[i : i + ln].lower() == needle:
+            after = i + ln
+            if after < n and (s[after] in _WS or s[after] in "/>"):
+                return i
+        i += 1
+
+
 def read_comment(s: str, n: int, start: int):
     """(raw, data, end_pos) for a comment whose '<!--' begins at
     ``start``: abrupt closes (<!-->, <!--->), ---> extra-dash swallow,
@@ -311,23 +331,9 @@ class HtmlTokenizer:
         if tag == "script":
             end = close_start = self._scan_script()
         else:
-            needle = "</" + tag
-            search = self.pos
-            end = -1
-            while True:
-                idx = self._find_ci(needle, search)
-                if idx == -1:
-                    end = n
-                    close_start = n
-                    break
-                after = idx + len(needle)
-                # EOF right after '</tag' is NOT a close tag (x/net/html
-                # readRawEndTag returns false at EOF: the text keeps it)
-                if after < n and (s[after] in _WS or s[after] in "/>"):
-                    end = idx
-                    close_start = idx
-                    break
-                search = idx + 1
+            # EOF right after '</tag' is NOT a close tag (x/net/html
+            # readRawEndTag returns false at EOF: the text keeps it)
+            end = close_start = scan_raw_end(s, n, self.pos, "</" + tag)
         raw_content = s[self.pos:end]
         self.pos = close_start
         self.raw_tag = ""
@@ -344,20 +350,6 @@ class HtmlTokenizer:
 
     def _scan_script(self) -> int:
         return scan_script(self.s, self.n, self.pos)
-
-    def _find_ci(self, needle: str, start: int) -> int:
-        """Case-insensitive find without lowering the whole buffer each call."""
-        s, n = self.s, self.n
-        first = needle[0]
-        ln = len(needle)
-        i = start
-        while True:
-            i = s.find(first, i)
-            if i == -1 or i + ln > n:
-                return -1
-            if s[i : i + ln].lower() == needle:
-                return i
-            i += 1
 
     def _read_start_tag(self):
         s, n = self.s, self.n
