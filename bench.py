@@ -106,6 +106,7 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
     headline = [
         "xpath_title",
         "beautify_xml",
+        "beautify_html",
         "css_lang_attr",
         "xml2json_doc",
         "pricing_summary",

@@ -535,3 +535,66 @@ def test_lsh_realistic_params_cap_engaged(spark, tmp_path):
         con.sql(q_lsh_pairs_sql(n_bands=16, n_rows=4, band_cap=10)).fetchall()
     )
     assert got == want
+
+
+def test_connected_components_star_rounds(spark):
+    """dedup_clusters' core: alternating large-star/small-star must
+    label every node with its component MIN on adversarial shapes —
+    a long path (worst case for naive label propagation: diameter 19,
+    needs multiple rounds), a star, a triangle-with-tail, and isolated
+    pairs — cross-checked against a driver-side union-find."""
+    from pyspark.sql import functions as F
+
+    from xqspark.queries import _connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(100, 120)]        # path, min=100
+        + [(7, n) for n in (3, 9, 11, 13)]           # star, min=3
+        + [(200, 201), (201, 202), (202, 200), (202, 203)]  # tri+tail
+        + [(500, 400)]                               # reversed pair
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        (r["u"], r["v"])
+        for r in _connected_components(df, max_iter=12).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(x, find(x)) for x in parent}
+    assert got == want
+    # every component labels with its minimum member
+    assert (120, 100) in got and (13, 3) in got and (203, 200) in got
+    assert (500, 400) in got and (400, 400) in got
+
+
+def test_dedup_clusters_oracle_shapes(spark):
+    """The catalog entry must agree with the DuckDB recursive-CTE
+    oracle at sf0.01 (also covered by the driver harness; pinned here
+    so a star-op regression fails fast in pytest)."""
+    import duckdb
+
+    from xqspark.queries import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in QUERIES["dedup_clusters"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(ORACLES["dedup_clusters"]).fetchall()))
+    assert rows == want and len(rows) > 0

@@ -2570,6 +2570,130 @@ def q_simhash_pairs_sql(max_hamming: int = 3, word_cap: int = 256):
     )
 
 
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions of an undirected edge list (u, v)."""
+    return edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def dedup_clusters(spark, sf_dir, max_iter: int = 12):
+    """Connected components over the LSH near-dup pair graph —
+    alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): the step a real
+    training-data pipeline runs AFTER pair-finding, to pick one
+    representative per duplicate cluster and drop the rest.
+
+    Scale shape: each half-round is ONE shuffle keyed on node id
+    (groupBy(u).min + a join that rides the same hashpartitioning(u));
+    the edge set only shrinks toward the star graph (node -> component
+    min), and the method converges in O(log n) rounds on any graph —
+    no giant-component blowup, because a hot node's edges are REPLACED
+    by edges to the component min, not multiplied. Per-iteration
+    ``localCheckpoint`` truncates the join lineage so round k's plan
+    does not replay rounds 1..k-1 (the same bounded-training-state
+    pattern as ann_ivf_lloyd; the only driver fetch per round is a
+    (count, bit_xor checksum) row for the convergence test — bit_xor,
+    not sum, per the ANSI xxhash64-overflow rule). Upstream band_cap
+    already bounds node degree, so no star op sees a quadratic group.
+
+    Output: (doc_id, cluster_id) for every doc that has at least one
+    near-dup, cluster_id = MIN doc_id of its component (deterministic
+    representative: keep cluster_id, drop the rest).
+
+    Large-star: every neighbor v > u re-points to m = min(N(u) + {u}).
+    Small-star over down-oriented edges (u > v): every v (and u)
+    points to m. Fixpoint = the star graph, checked by (count,
+    checksum) equality."""
+    pairs = lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return _connected_components(edges, max_iter).select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+
+
+def _connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Alternating large-star/small-star to fixpoint over an (u, v)
+    edge DataFrame; returns (u=node, v=component-min label) for every
+    node of the graph. See dedup_clusters for the scale argument."""
+
+    def star_mins(nbrs: DataFrame) -> DataFrame:
+        return (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+
+    def checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+        ).collect()[0]
+        return row["n"], row["x"]
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star: strictly larger neighbors re-point to the min
+        nbrs = _sym(edges)
+        mins = star_mins(nbrs)
+        edges = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges (hi -> lo), everyone points to the min
+        dn = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins = star_mins(dn)
+        pointed = dn.join(mins, "u")
+        edges = (
+            pointed.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(pointed.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected components: no fixpoint in {max_iter} rounds"
+        )
+    # edges is the star graph (node -> component min); add the roots
+    roots = edges.select(F.col("v").alias("u")).distinct().select(
+        "u", F.col("u").alias("v")
+    )
+    return edges.union(roots).distinct()
+
+
+def q_dedup_clusters(spark, sf_dir):
+    return dedup_clusters(spark, sf_dir)
+
+
+def q_dedup_clusters_sql():
+    """Recursive reachability oracle: cluster_id(x) = min node reachable
+    from x over the symmetric pair graph (UNION-distinct terminates on
+    the finite edge set; fine at oracle scale, while the Spark side runs
+    the O(log n) star rounds that survive 100 TB)."""
+    return (
+        "WITH RECURSIVE pairs AS (" + q_lsh_pairs_sql() + "), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(src, dst) AS ("
+        "SELECT u, u FROM edges "
+        "UNION "
+        "SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst) "
+        "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"
+    )
+
+
 QUERIES = {
     "xpath_title": q_xpath_title,
     "xpath_token_count": q_xpath_token_count,
@@ -2622,6 +2746,7 @@ QUERIES = {
     "error_containment": q_error_containment,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -2684,4 +2809,5 @@ ORACLES = {
     "pack_chunks": q_pack_chunks_sql(),
     "simhash": q_simhash_sql(),
     "simhash_pairs": q_simhash_pairs_sql(),
+    "dedup_clusters": q_dedup_clusters_sql(),
 }
