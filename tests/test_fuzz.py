@@ -221,6 +221,30 @@ def test_fused_html_formatter_differential():
     assert hit > 2000 and bail > 100, (hit, bail)
 
 
+def test_fused_html_formatter_hits_wellformed_pages():
+    """Coverage floor: realistic well-formed pages (attrs of every
+    quoting style, raw script with comments, style, entities, tables,
+    forms, doctype, comments) must take the FUSED path — a future bail
+    broad enough to kick these out would silently lose the 1.5x."""
+    from xqspark.core.fmt_html import _format_html_fused
+
+    page = (
+        '<!doctype html>\n<html lang="en">\n<head>\n'
+        "<title>Page %d &amp; more</title>\n<meta charset=utf-8>\n"
+        "<style>.c{color:red}</style>\n"
+        '<script src="/app.js" async></script>\n</head>\n'
+        '<body class="page">\n<!-- header -->\n'
+        '<form action="/s" method=get><input name=q disabled></form>\n'
+        '<table><tr><td>a</td><td a="1" b=\'2\'>b</td></tr></table>\n'
+        '<div  data-x="1&quot;2">x &lt; y &#65; &nbsp;</div>\n'
+        "<script>if (a<b) { s = \"</div>\"; } <!-- x --></script>\n"
+        "<textarea>raw &amp; entities</textarea>\n"
+        "</body>\n</html>\n"
+    )
+    for i in range(20):
+        _format_html_fused(page % i, "  ")  # raises _HFallback on bail
+
+
 def test_fused_html_formatter_empty_indent():
     """indent='' (compact mode) flows through the fused path too —
     newline handling differs (newline = '')."""
