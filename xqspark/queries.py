@@ -2584,8 +2584,9 @@ def dedup_clusters(spark, sf_dir, max_iter: int = 12):
     training-data pipeline runs AFTER pair-finding, to pick one
     representative per duplicate cluster and drop the rest.
 
-    Scale shape: each half-round is ONE shuffle keyed on node id
-    (groupBy(u).min + a join that rides the same hashpartitioning(u));
+    Scale shape: every half-round shuffle is keyed on node id only
+    (the groupBy(u).min and the join sides all hashpartition on u, so
+    AQE reuses the exchange and a small mins side broadcasts);
     the edge set only shrinks toward the star graph (node -> component
     min), and the method converges in O(log n) rounds on any graph —
     no giant-component blowup, because a hot node's edges are REPLACED
