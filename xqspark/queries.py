@@ -2695,6 +2695,40 @@ def q_dedup_clusters_sql():
     )
 
 
+def q_dedup_keep(spark, sf_dir):
+    """Cleaned-corpus selection — the last step of the near-dup
+    pipeline: keep ONE representative per duplicate cluster (the
+    component-min doc_id from dedup_clusters) plus every doc with no
+    near-dup; flag which kept docs are cluster representatives. Scale
+    shape: only (doc_id, cluster_id) pairs move — the anti-join and the
+    flag join shuffle bare bigints; document text is never read (the
+    scan is doc_id-only, column-pruned)."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id", F.lit(True).alias("rep")
+    )
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return kept.join(reps, "doc_id", "left").select(
+        "doc_id", F.coalesce("rep", F.lit(False)).alias("is_cluster_rep")
+    )
+
+
+def q_dedup_keep_sql():
+    return (
+        "WITH cc AS (" + q_dedup_clusters_sql() + ") "
+        "SELECT d.doc_id, coalesce(r.rep, false) AS is_cluster_rep "
+        "FROM documents d "
+        "LEFT JOIN (SELECT doc_id, true AS rep FROM cc "
+        "WHERE doc_id = cluster_id) r USING (doc_id) "
+        "WHERE d.doc_id NOT IN "
+        "(SELECT doc_id FROM cc WHERE doc_id <> cluster_id)"
+    )
+
+
 QUERIES = {
     "xpath_title": q_xpath_title,
     "xpath_token_count": q_xpath_token_count,
@@ -2748,6 +2782,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep": q_dedup_keep,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -2811,4 +2846,5 @@ ORACLES = {
     "simhash": q_simhash_sql(),
     "simhash_pairs": q_simhash_pairs_sql(),
     "dedup_clusters": q_dedup_clusters_sql(),
+    "dedup_keep": q_dedup_keep_sql(),
 }
