@@ -2619,6 +2619,10 @@ def _connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
     """Alternating large-star/small-star to fixpoint over an (u, v)
     edge DataFrame; returns (u=node, v=component-min label) for every
     node of the graph. See dedup_clusters for the scale argument."""
+    # materialize the input once: round 1 references the edge plan from
+    # four subtrees (sym union x agg + join), which would re-run an
+    # expensive upstream (e.g. the LSH band join) that many times
+    edges = edges.localCheckpoint()
 
     def star_mins(nbrs: DataFrame) -> DataFrame:
         return (
