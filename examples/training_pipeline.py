@@ -62,14 +62,17 @@ def main() -> None:
     )
     counts["after_exact_dedup"] = exact.count()
 
-    # 3. MinHash+LSH near-dup drop: keep the smallest doc_id of each
-    # candidate pair's component (greedy: drop the larger side). Stage 3
+    # 3. MinHash+LSH near-dup drop with CLUSTER-level representative
+    # selection (r5): label each pair-graph component via alternating
+    # large-star/small-star and keep only the component-min doc_id —
+    # the C4/RefinedWeb-style whole-cluster drop (transitive: a~b~c
+    # keeps one doc even when a and c never paired directly). Stage 3
     # reads the MATERIALIZED stage-2 output back, so later stages never
     # re-run the quality gate + dedup window against the source.
     tmp_dir = args.out + "/_neardup_in"
     exact.write.mode("overwrite").parquet(tmp_dir + "/documents.parquet")
     exact = spark.read.parquet(tmp_dir + "/documents.parquet")
-    from xqspark.queries import lsh_pairs, pack_chunks_df
+    from xqspark.queries import _connected_components, lsh_pairs, pack_chunks_df
 
     dropped = []
     lsh_cache = []
@@ -77,7 +80,12 @@ def main() -> None:
         spark, tmp_dir, band_cap=args.band_cap, on_dropped=dropped.append,
         cache_out=lsh_cache,
     )
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    cc = _connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    losers = cc.filter(F.col("u") != F.col("v")).select(
+        F.col("u").alias("doc_id")
+    )
     kept = exact.join(losers, "doc_id", "left_anti").persist()
     counts["hot_bands_dropped"] = dropped[0] if dropped else 0
     counts["after_near_dedup"] = kept.count()
