@@ -185,6 +185,10 @@ _HTML_FMT_FRAGS = [
     'ünïcode', 'a>b', '"q"', "'s'", '<script src="s.js"></script>',
     '<style>@media x{a{b:c}}</style>', '<svg>', '</svg>',
     '<video controls>', '</video>',
+    # r5 widened attr shapes: ws around '=' (hit) and '= >' (bail)
+    '<a b = c>', '<a b =c>', '<a b= "c">', '<a b = >', '<a b=c d>',
+    '<a b c>', '<a b == c>', '<a b="x" c = \'y\' d=z e>',
+    '<input type = "text" value= ok>',
 ]
 
 

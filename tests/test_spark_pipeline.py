@@ -598,3 +598,43 @@ def test_dedup_clusters_oracle_shapes(spark):
     )
     want = sorted(map(tuple, con.execute(ORACLES["dedup_clusters"]).fetchall()))
     assert rows == want and len(rows) > 0
+
+
+def test_connected_components_random_graphs(spark):
+    """Property check: on seeded random graphs (sparse, dense, and
+    multi-component), the star rounds must agree with a union-find —
+    including label = component MIN under arbitrary edge orientation."""
+    import random
+
+    from xqspark.queries import _connected_components
+
+    rng = random.Random(20260817)
+    for trial in range(6):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, n * 2)
+        edges = [
+            (rng.randrange(n * 3), rng.randrange(n * 3)) for _ in range(m)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            (r["u"], r["v"])
+            for r in _connected_components(df, max_iter=15).collect()
+        }
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {(x, find(x)) for x in parent}
+        assert got == want, (trial, sorted(got - want)[:5], sorted(want - got)[:5])

@@ -43,18 +43,22 @@ class _HFallback(Exception):
 
 
 # Start tags with ws-separated keys and double-quoted ('<'/CR-free),
-# single-quoted or unquoted values, or no value; trailing '/' only at
-# the end. Everything else (EOF-in-tag, '=' keys, '/' separators,
-# exotic key chars) bails to the general tokenizer.
+# single-quoted or unquoted values (ws allowed around '='), or no
+# value; trailing '/' only at the end. Everything else (EOF-in-tag,
+# '=' keys, '/' separators, exotic key chars, '= >' empty-unquoted)
+# bails to the general tokenizer — bail, never misparse: any attr
+# shape the alternation can't consume fails the WHOLE tag match.
 _FUSED_H_TAG = _re.compile(
     r"<([A-Za-z][A-Za-z0-9-]*)"
     r"((?:[ \t\n\f]+[A-Za-z0-9_:.\-]+"
-    r"(?:=\"[^\"<\r]*\"|='[^'<\r]*'|=[^ \t\n\f\r>\"'][^ \t\n\f\r>]*)?)*)"
+    r"(?:[ \t\n\f]*=[ \t\n\f]*"
+    r"(?:\"[^\"<\r]*\"|'[^'<\r]*'|[^ \t\n\f\r>\"'][^ \t\n\f\r>]*))?)*)"
     r"[ \t\n\f]*(/?)>"
 )
 _FUSED_H_ATTR = _re.compile(
     r"([A-Za-z0-9_:.\-]+)"
-    r"(?:=(?:\"([^\"]*)\"|'([^']*)'|([^ \t\n\f\r>]+)))?"
+    r"(?:[ \t\n\f]*=[ \t\n\f]*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^ \t\n\f\r>]+)))?"
 )
 _FUSED_H_END = _re.compile(r"</([A-Za-z][A-Za-z0-9-]*)[ \t\n\f\r]*>")
 
