@@ -2699,6 +2699,54 @@ def q_dedup_clusters_sql():
     )
 
 
+def q_link_graph(spark, sf_dir, k: int = 5):
+    """Outlink extraction — the web-graph construction op: build a page
+    whose <nav> links derive deterministically from the doc's first
+    ``k`` tokens, then recover (rank, href, anchor) per link through
+    the REAL WHATWG tree + CSS path (one parse per page via the
+    struct-pair UDF — not two). Scale shape: one pandas-UDF projection
+    + posexplode; the oracle recomputes the links from the same fields
+    it built them from, so a tree/CSS/inner_text regression anywhere in
+    the parse path breaks the hash."""
+    from xqspark.udfs import make_link_pairs_udf
+
+    udf = make_link_pairs_udf("nav a", "href")
+    html = F.concat(
+        F.lit("<html><body><nav>"),
+        F.expr(
+            f"concat_ws('', transform(slice(split(trim(text), '\\\\s+'), 1, {k}), "
+            "(tok, i) -> concat('<a href=\"/d', doc_id, '/', i, '\">', tok, '</a>')))"
+        ),
+        F.lit('</nav><p>body text</p><a href="/out">outside nav</a>'
+              "</body></html>"),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", udf(html.cast("binary")).alias("links")
+    )
+    return docs.select(
+        "doc_id", F.posexplode("links").alias("rank", "link")
+    ).select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("link.href").alias("href"),
+        F.col("link.anchor").alias("anchor"),
+    )
+
+
+def q_link_graph_sql(k: int = 5):
+    return (
+        "WITH t AS (SELECT doc_id, "
+        f"list_slice(regexp_extract_all(trim(text), '\\S+'), 1, {k}) AS toks "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "unnest(list_transform(range(1, len(toks) + 1), i -> (i - 1)::INT)) AS rank, "
+        "unnest(list_transform(range(1, len(toks) + 1), "
+        "i -> '/d' || doc_id || '/' || (i - 1))) AS href, "
+        "unnest(list_transform(range(1, len(toks) + 1), i -> toks[i])) AS anchor "
+        "FROM t"
+    )
+
+
 def q_dedup_keep(spark, sf_dir):
     """Cleaned-corpus selection — the last step of the near-dup
     pipeline: keep ONE representative per duplicate cluster (the
@@ -2787,6 +2835,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep": q_dedup_keep,
+    "link_graph": q_link_graph,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -2851,4 +2900,5 @@ ORACLES = {
     "simhash_pairs": q_simhash_pairs_sql(),
     "dedup_clusters": q_dedup_clusters_sql(),
     "dedup_keep": q_dedup_keep_sql(),
+    "link_graph": q_link_graph_sql(),
 }

@@ -203,6 +203,46 @@ def make_css_values_udf(selector: str, attr: str = ""):
     return extract
 
 
+def make_link_pairs_udf(selector: str = "a", attr: str = "href"):
+    """Outlink extraction for web-graph construction: ONE parse per page
+    yields (attr value, anchor inner-text) pairs for every element the
+    selector matches, in document order. Selector compiles at factory
+    time; output array<struct> keeps the pair aligned without a second
+    parse (two separate css UDF calls would parse the page twice)."""
+    from xqspark.core.css import compile_css
+    from xqspark.core.htmltree import parse_html
+
+    sel = compile_css(selector)
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("href", T.StringType()),
+                T.StructField("anchor", T.StringType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_type)
+    def extract(html: pd.Series) -> pd.Series:
+        def one(payload):
+            doc = parse_html(payload)
+            out = []
+            for item in sel.select(doc):
+                value = ""
+                for a in item.attrs:
+                    if a.local == attr:
+                        value = a.value
+                        break
+                out.append(
+                    (go_trim_space(value), go_trim_space(item.inner_text()))
+                )
+            return out
+
+        return _series_map(html, one)
+
+    return extract
+
+
 def make_css_output_udf(selector: str, attr: str = "", with_tags: bool = False,
                         indent: str = "  "):
     @pandas_udf(T.StringType())
