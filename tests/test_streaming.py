@@ -320,3 +320,67 @@ def test_stream_main_content_mode(spark):
             assert r["extracted"].startswith("genuine streaming article")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_neardup_ingest_incremental(spark):
+    """Incremental near-dup ingestion: batch 2's exact re-text of an
+    already-ingested doc must drop against the band STORE; in-batch
+    duplicates collapse to one; fresh docs pass. A rerun on the same
+    checkpoint must not reprocess (exactly-once)."""
+    import pyspark.sql.functions as F
+
+    from xqspark.pipeline import PAGES_SCHEMA
+    from xqspark.streaming import neardup_ingest
+
+    base = tempfile.mkdtemp(prefix="xq_ndi_")
+    src, out, store, ckpt = (
+        f"{base}/src", f"{base}/out", f"{base}/store", f"{base}/ckpt"
+    )
+    texts = {
+        "a": "alpha beta gamma delta epsilon zeta eta theta",
+        "b": "one two three four five six seven eight nine",
+        "c": "red orange yellow green blue indigo violet colors",
+        "fresh": "totally new content words appearing only later here",
+    }
+
+    def row(url, key):
+        return (url, None, b"<x/>", texts[key], "en")
+
+    try:
+        # batch 1: a, b, c + an in-batch duplicate of b
+        spark.createDataFrame(
+            [row("http://h/a", "a"), row("http://h/b", "b"),
+             row("http://h/c", "c"), row("http://h/b2", "b")],
+            PAGES_SCHEMA,
+        ).coalesce(1).write.parquet(src)
+        # batch 2: near-dup of a (same text, new url) + fresh
+        spark.createDataFrame(
+            [row("http://h/a2", "a"), row("http://h/fresh", "fresh")],
+            PAGES_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        def run():
+            stream = (
+                spark.readStream.schema(PAGES_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = neardup_ingest(stream, out, store, ckpt)
+            assert q.awaitTermination(300)
+
+        run()
+        got = spark.read.parquet(out)
+        urls = sorted(r["url"] for r in got.collect())
+        assert urls == [
+            "http://h/a", "http://h/b", "http://h/c", "http://h/fresh"
+        ], urls  # b2 (in-batch dup) and a2 (store dup) dropped
+        # the store holds bands only for KEPT docs
+        store_urls = {
+            r["url"] for r in spark.read.parquet(f"{store}/bands").collect()
+        }
+        assert store_urls == set(urls)
+        # rerun on the same checkpoint: no new batches, output unchanged
+        run()
+        assert spark.read.parquet(out).count() == 4
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -789,18 +789,31 @@ def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
     base hash), then n_hashes universal permutations
     (a_k*h + b_k) mod (2^31-1) — digest cost is constant in n_hashes
     (the 16x4 LSH shape was paying 16 md5s per shingle before)."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    return minhash_sig_df(_docs(spark, sf_dir), n_hashes=n_hashes)
+
+
+def minhash_sig_df(
+    df: DataFrame,
+    n_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The signature stage over an arbitrary DataFrame (batch OR a
+    foreachBatch microbatch) — same map-only projection as _minhash_sig;
+    shared so incremental ingestion signs documents with bit-identical
+    constants to the batch catalog."""
+    docs = df.select(
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
     docs = docs.filter(F.size("t") >= 3)
     sh = docs.select(
-        "doc_id",
+        id_col,
         F.expr(
             "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
         ).alias("sh"),
     )
     hashed = sh.select(
-        "doc_id",
+        id_col,
         F.expr(
             "transform(sh, s -> cast(conv(substring(md5(encode(s, 'UTF-8')), 1, 8), 16, 10) as bigint))"
         ).alias("h"),
@@ -811,7 +824,31 @@ def _minhash_sig(spark, sf_dir, n_hashes: int = 4) -> DataFrame:
         ).alias(f"mh{k}")
         for k, (a, b) in enumerate(_mh_params(n_hashes), start=1)
     ]
-    return hashed.select("doc_id", *mh)
+    return hashed.select(id_col, *mh)
+
+
+def band_keys_df(
+    sig: DataFrame, n_bands: int = 2, n_rows: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band) stream from a signature DataFrame — the '#'-separated
+    md5 band keys lsh_pairs uses, factored so incremental ingestion
+    buckets into the SAME band space as the batch pair-finder."""
+    band_exprs = [
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"mh{b * n_rows + r + 1}").cast("string")
+                        for r in range(n_rows)
+                    ],
+                ),
+                "UTF-8",
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(id_col, F.explode(F.array(*band_exprs)).alias("band"))
 
 
 def _minhash_sql_body(n_hashes: int = 4) -> str:
@@ -871,26 +908,9 @@ def lsh_pairs(
     once the result is materialized.
     """
     sig = _minhash_sig(spark, sf_dir, n_hashes=n_bands * n_rows)
-    # '#' separator: mh values are variable-width decimals now, so plain
-    # concat would alias ("1","23") with ("12","3")
-    band_exprs = [
-        F.md5(
-            F.encode(
-                F.concat_ws(
-                    "#",
-                    *[
-                        F.col(f"mh{b * n_rows + r + 1}").cast("string")
-                        for r in range(n_rows)
-                    ],
-                ),
-                "UTF-8",
-            )
-        )
-        for b in range(n_bands)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
-    )
+    # '#' separator inside band_keys_df: mh values are variable-width
+    # decimals, so plain concat would alias ("1","23") with ("12","3")
+    bands = band_keys_df(sig, n_bands, n_rows)
     sized = bands.withColumn(
         "n_band", F.count("*").over(W.partitionBy("band"))
     )

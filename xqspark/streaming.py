@@ -262,6 +262,86 @@ def dedup_stream(
     )
 
 
+def neardup_ingest(
+    pages_stream: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    n_bands: int = 2,
+    n_rows: int = 2,
+):
+    """Continuous corpus ingestion with NEAR-dup suppression — the
+    stream-to-batch incremental pattern (foreachBatch): every
+    microbatch is MinHash-signed and bucketed into the SAME band space
+    as the batch `lsh_pairs` (shared minhash_sig_df/band_keys_df, so
+    batch-built stores and streamed ingestion agree bit-for-bit), then
+
+    1. docs colliding with the persistent band STORE are dropped
+       (near-dup of something already ingested),
+    2. within the batch, every band keeps only its first url (greedy
+       first-seen; like all LSH dedup this is candidate-level —
+       conservative, deterministic),
+    3. survivors append to the corpus and their bands to the store.
+
+    Exactly-once without a transaction log: each batch writes to
+    ``<dir>/ingest_batch=<id>`` with overwrite, so a replayed batch
+    (crash between writes and checkpoint commit) overwrites its own
+    output instead of duplicating it. State is the band store itself —
+    unbounded by design (it IS the corpus index), but bands are 32-char
+    keys + a url: O(n_bands) per KEPT doc, pruned of every dropped dup.
+
+    At 100 TB: the store-membership check is a broadcast-or-shuffle
+    semi-join on band keys (Spark picks by size); in production the
+    store would live in a table format with compaction, which this
+    directory layout stands in for."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from .queries import band_keys_df, minhash_sig_df
+
+    bands_dir = f"{store_dir}/bands"
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        sig = minhash_sig_df(batch, n_hashes=n_bands * n_rows, id_col="url")
+        bands = band_keys_df(sig, n_bands, n_rows, id_col="url").persist()
+
+        dropped = None
+        if os.path.isdir(bands_dir) and any(
+            e.startswith("ingest_batch=") for e in os.listdir(bands_dir)
+        ):
+            seen = spark.read.parquet(bands_dir).select("band")
+            dropped = (
+                bands.join(seen, "band", "left_semi").select("url").distinct()
+            )
+        # in-batch: every band keeps its first url only
+        first = bands.withColumn(
+            "rnk", F.row_number().over(W.partitionBy("band").orderBy("url"))
+        )
+        later = first.filter(F.col("rnk") > 1).select("url").distinct()
+        dropped = later if dropped is None else dropped.union(later).distinct()
+        kept = batch.join(dropped, "url", "left_anti")
+
+        kept.write.mode("overwrite").parquet(
+            f"{out_dir}/ingest_batch={batch_id}"
+        )
+        kept_bands = bands.join(kept.select("url"), "url", "left_semi")
+        kept_bands.write.mode("overwrite").parquet(
+            f"{bands_dir}/ingest_batch={batch_id}"
+        )
+        bands.unpersist()
+        batch.unpersist()
+
+    return (
+        pages_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_parquet(
     pages_stream: DataFrame,
     out_dir: str,
