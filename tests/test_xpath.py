@@ -210,3 +210,29 @@ def test_function_parity_sweep():
     ]
     for q, want in cases:
         assert xpath_query(doc, q) == want, q
+
+
+def test_fast_descendant_name_route_matches_general():
+    """The '//name' fast route (r5) must return the identical node list
+    as the general step machinery, including duplicates-by-name at
+    different depths, root-child matches, and non-element name clashes
+    (text content equal to the tag name must not match)."""
+    from xqspark.core.dom import parse_dom
+    from xqspark.core.xpath import XPathExpr
+
+    doc = parse_dom(
+        b"<r><t>title</t><title>a</title><x><title>b</title>"
+        b"<y><title>c</title></y></x><title/></r>"
+    )
+    expr = XPathExpr("//title")
+    assert expr._fast_name == "title"
+    fast = expr.evaluate(doc)
+    expr._fast_name = None  # force the general path on the same AST
+    general = expr.evaluate(doc)
+    assert [id(n) for n in fast] == [id(n) for n in general]
+    assert len(fast) == 4
+    # prefixed and predicated shapes must NOT take the fast route
+    assert XPathExpr("//a:title")._fast_name is None
+    assert XPathExpr("//title[1]")._fast_name is None
+    assert XPathExpr("/r//title")._fast_name is None
+    assert XPathExpr("//title/text()")._fast_name is None

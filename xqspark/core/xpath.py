@@ -660,8 +660,22 @@ class XPathExpr:
     def __init__(self, query: str):
         self.query = query
         self.ast = _fold_ast(_Parser(query).parse())
+        # fast route for the ubiquitous absolute '//name' shape (no
+        # prefix, no predicates): descendant-or-self::node()/child::name
+        # over the document root is exactly "every element named `name`
+        # in document order" — a direct walk skips the whole step
+        # machinery (~10-15% of the extraction hot path)
+        m = _FAST_DESC_NAME.match(query)
+        self._fast_name = m.group(1) if m else None
 
     def evaluate(self, doc: DomNode):
+        if self._fast_name is not None and doc.type == DOCUMENT:
+            name = self._fast_name
+            return [
+                n
+                for n in doc.iter_descendants()
+                if n.type == ELEMENT and n.data == name
+            ]
         # path/step/union evaluation already dedups and doc-sorts; no
         # re-sort here so order-producing functions (reverse) survive
         ctx = _Context(doc, 1, 1, doc)
@@ -675,6 +689,8 @@ class XPathExpr:
 
 
 import functools
+
+_FAST_DESC_NAME = re.compile(r"^//([A-Za-z_][A-Za-z0-9_.\-]*)\Z")
 
 
 @functools.lru_cache(maxsize=256)
