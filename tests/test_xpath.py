@@ -236,3 +236,19 @@ def test_fast_descendant_name_route_matches_general():
     assert XPathExpr("//title[1]")._fast_name is None
     assert XPathExpr("/r//title")._fast_name is None
     assert XPathExpr("//title/text()")._fast_name is None
+
+
+def test_select_first_matches_select_head():
+    """select_first (early-exit -e mode) must agree with select()[0] on
+    fast-route, general, and no-match shapes — it may NOT stop parsing
+    early (the reference parses the whole document, so post-match
+    malformedness still errors; only the WALK short-circuits)."""
+    from xqspark.core.dom import parse_dom
+    from xqspark.core.xpath import XPathExpr, compile_xpath
+
+    doc = parse_dom(b"<r><a>1</a><b><a>2</a></b><c/></r>")
+    for q in ("//a", "//c", "//missing", "/r/b/a", "//a[1]"):
+        expr = XPathExpr(q)
+        nodes = expr.select(doc)
+        first = expr.select_first(doc)
+        assert first is (nodes[0] if nodes else None), q

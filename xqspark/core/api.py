@@ -94,9 +94,9 @@ def xpath_query(
     expr = compile_xpath(query)
 
     if single_node:
-        nodes = expr.select(doc)
-        if nodes:
-            return _print_node_content(nodes[0], with_tags, indent)
+        node = expr.select_first(doc)
+        if node is not None:
+            return _print_node_content(node, with_tags, indent)
         return ""
     if with_tags:
         return "".join(

@@ -687,6 +687,21 @@ class XPathExpr:
             raise XPathError(f"expression is not a node-set: {self.query}")
         return result
 
+    def select_first(self, doc: DomNode):
+        """First match in document order, or None. On the '//name' fast
+        route this EARLY-EXITS the walk (the -e single-node mode of the
+        extraction headline: //title matches near the top of a page, so
+        the rest of the document is never visited); everywhere else it
+        is exactly select()[0]."""
+        if self._fast_name is not None and doc.type == DOCUMENT:
+            name = self._fast_name
+            for n in doc.iter_descendants():
+                if n.type == ELEMENT and n.data == name:
+                    return n
+            return None
+        nodes = self.select(doc)
+        return nodes[0] if nodes else None
+
 
 import functools
 
