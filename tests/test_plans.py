@@ -353,9 +353,10 @@ def test_minhash_signature_is_map_only_projection(spark):
 
 
 def test_map_only_quality_ops_have_no_exchange(spark):
-    """repetition, url_normalize and (since r4) simhash claim map-only
-    plans at 100 TB — hold them to it: zero Exchange of any kind."""
-    for name in ("repetition", "url_normalize", "simhash"):
+    """repetition, url_normalize, (r4) simhash and (r5) c4_filter claim
+    map-only plans at 100 TB — hold them to it: zero Exchange of any
+    kind."""
+    for name in ("repetition", "url_normalize", "simhash", "c4_filter"):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert "Exchange" not in plan, (name, plan[:1500])
         assert "Generate" not in plan, (name, plan[:1500])

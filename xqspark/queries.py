@@ -1398,15 +1398,21 @@ def q_ann_ivf_lloyd_sql():
     )
 
 
-def _doc_lines(spark, sf_dir):
-    """(doc_id, lines) with deterministic line structure: a nav
-    boilerplate line shared by doc_id%5, 10-token content lines from the
-    text, and a footer shared by doc_id%3 — the corpus has no newlines,
-    so the line structure is constructed JVM-side (both engines build
-    the identical lines)."""
+def _doc_lines(spark, sf_dir, extra_cols: tuple = ()):
+    """(doc_id, lines[, *extra_cols]) with deterministic line structure:
+    a nav boilerplate line shared by doc_id%5, 10-token content lines
+    from the text, and a footer shared by doc_id%3 — the corpus has no
+    newlines, so the line structure is constructed JVM-side (both
+    engines build the identical lines). ``extra_cols`` are (name, expr)
+    pairs carried through the same projection so consumers that need
+    the source text too (c4_filter) avoid a self-join Exchange."""
     docs = (
         _docs(spark, sf_dir)
-        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+            *[e.alias(nm) for nm, e in extra_cols],
+        )
         .withColumn("t", F.expr("filter(t, x -> x != '')"))
         .filter(F.size("t") >= 1)
     )
@@ -1425,6 +1431,7 @@ def _doc_lines(spark, sf_dir):
     return docs.select(
         "doc_id",
         F.concat(F.array(nav), content, F.array(footer)).alias("lines"),
+        *[nm for nm, _ in extra_cols],
     )
 
 
@@ -2719,6 +2726,100 @@ def q_dedup_clusters_sql():
     )
 
 
+def q_c4_filter(spark, sf_dir, min_words_line: int = 8, min_lines: int = 3):
+    """C4-style structural quality gate (Raffel et al. 2020, §2.2
+    heuristics adapted to this corpus's line structure): drop LINES
+    with fewer than ``min_words_line`` words (kills the short nav/
+    footer boilerplate), then drop DOCS with fewer than ``min_lines``
+    surviving lines or containing the 'lorem ipsum' placeholder or a
+    curly brace (code/templating leak). Map-only: the line array and
+    every rule are in-row HOFs over the scan — no shuffle at any
+    scale; the decision and the per-rule reasons are output so
+    downstream can audit drop rates per rule (no-silent-filter)."""
+    lines_df = _doc_lines(
+        spark, sf_dir, extra_cols=(("lt", F.lower(F.col("text"))),)
+    )
+    kept = F.expr(
+        f"size(filter(lines, x -> size(split(x, ' ')) >= {min_words_line}))"
+    )
+    flags = lines_df.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        kept.cast("long").alias("n_kept_lines"),
+        F.col("lt").contains("lorem ipsum").alias("has_lorem"),
+        F.col("lt").contains("{").alias("has_brace"),
+    )
+    return flags.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "has_lorem",
+        "has_brace",
+        (
+            (F.col("n_kept_lines") >= min_lines)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).alias("keep"),
+    )
+
+
+def q_c4_filter_sql(min_words_line: int = 8, min_lines: int = 3):
+    return (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t, "
+        "lower(text) AS lt FROM documents "
+        "WHERE len(regexp_extract_all(trim(text), '\\S+')) >= 1), "
+        "lns AS (SELECT doc_id, lt, "
+        "['nav menu home about contact site ' || (doc_id % 5)::VARCHAR] || "
+        "list_transform(range(0, ceil(len(t) / 10.0)::INT), "
+        "i -> array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ')) || "
+        "['copyright footer legal terms ' || (doc_id % 3)::VARCHAR] AS lines FROM t), "
+        "f AS (SELECT doc_id, len(lines)::BIGINT AS n_lines, "
+        "len(list_filter(lines, x -> len(string_split(x, ' ')) >= "
+        f"{min_words_line}))::BIGINT AS n_kept_lines, "
+        "contains(lt, 'lorem ipsum') AS has_lorem, "
+        "contains(lt, '{') AS has_brace FROM lns) "
+        "SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace, "
+        f"(n_kept_lines >= {min_lines} AND NOT has_lorem AND NOT has_brace) "
+        "AS keep FROM f"
+    )
+
+
+def q_ngram_counts(spark, sf_dir, n: int = 2, k: int = 20):
+    """Top-k corpus n-grams — the frequency table contamination and
+    repetition analyses start from. Scale shape: the n-gram stream is
+    map-side partial-aggregated before the one (gram, count) shuffle,
+    and the top-k is a TakeOrdered (no global sort materializes the
+    full vocabulary); ties broken deterministically (count desc, gram
+    asc) so both engines cut the same k rows."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= n)
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t)-{n}), i -> "
+                + "concat_ws(' ', "
+                + ", ".join(f"t[i+{j}]" for j in range(n))
+                + "))"
+            )
+        ).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("gram")).limit(k)
+
+
+def q_ngram_counts_sql(n: int = 2, k: int = 20):
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return (
+        "WITH toks AS (SELECT regexp_extract_all(trim(text), '\\S+') AS t "
+        f"FROM documents WHERE len(regexp_extract_all(trim(text), '\\S+')) >= {n}), "
+        f"g AS (SELECT unnest(list_transform(range(0, len(t)-{n}+1), "
+        f"i -> {gram})) AS gram FROM toks) "
+        "SELECT gram, count(*)::BIGINT AS n FROM g GROUP BY gram "
+        f"ORDER BY n DESC, gram ASC LIMIT {k}"
+    )
+
+
 def q_link_graph(spark, sf_dir, k: int = 5):
     """Outlink extraction — the web-graph construction op: build a page
     whose <nav> links derive deterministically from the doc's first
@@ -2856,6 +2957,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep": q_dedup_keep,
     "link_graph": q_link_graph,
+    "c4_filter": q_c4_filter,
+    "ngram_counts": q_ngram_counts,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -2921,4 +3024,6 @@ ORACLES = {
     "dedup_clusters": q_dedup_clusters_sql(),
     "dedup_keep": q_dedup_keep_sql(),
     "link_graph": q_link_graph_sql(),
+    "c4_filter": q_c4_filter_sql(),
+    "ngram_counts": q_ngram_counts_sql(),
 }
