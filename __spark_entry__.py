@@ -26,10 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness caps at 50 rows while the catalog has
 # grown past it, so dict ORDER decides which ops get a driver row each
 # round. Deterministic round-robin: rotate the catalog left by 5 per
-# completed round (counted from committed CORRECTNESS_r*.json files), so
-# the 5 ops past the cap shift every round and every op is
-# driver-checked at least 10 of every 11 rounds (VERDICT r4 #1 — before
-# this, the last 5 dict entries were simply never checked).
+# completed round (counted from committed CORRECTNESS_r*.json files).
+# The (len-50)-wide dropped window shifts by 5 each round, so every op
+# is driver-checked in most rounds and never skipped more than
+# ceil((len-50)/5) rounds in a row (VERDICT r4 #1 — before this, the
+# last entries past the cap were simply never checked). All ops remain
+# DuckDB-oracle-checked in pytest every round regardless
+# (test_driver_contract parametrizes the full catalog).
 _ROUNDS_DONE = len(
     glob.glob(os.path.join(os.path.dirname(__file__), "CORRECTNESS_r*.json"))
 )
