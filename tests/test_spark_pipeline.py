@@ -638,3 +638,79 @@ def test_connected_components_random_graphs(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         want = {(x, find(x)) for x in parent}
         assert got == want, (trial, sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+def test_c4_filter_rules_engage(spark, tmp_path):
+    """Each c4_filter rule must actually fire: a lorem-ipsum doc and a
+    brace doc drop regardless of line structure; a doc whose content
+    lines are all short (< min_words_line) drops on n_kept_lines; a
+    normal doc keeps."""
+    import pyspark.sql.functions as F
+
+    from xqspark.queries import QUERIES
+
+    rows = [
+        (0, "perfectly normal content words " * 10, "en", "s", 300),
+        (1, "this page is Lorem Ipsum placeholder filler text only " * 5,
+         "en", "s", 270),
+        (2, "function() { return template leak } " + "pad words " * 20,
+         "en", "s", 230),
+        (3, "tiny words only", "en", "s", 15),
+    ]
+    d = str(tmp_path / "c4")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in QUERIES["c4_filter"](spark, d).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["has_lorem"] is True
+    assert got[2]["keep"] is False and got[2]["has_brace"] is True
+    assert got[3]["keep"] is False and got[3]["n_kept_lines"] < 3
+
+
+def test_read_warc_end_to_end(spark, tmp_path):
+    """WARC source: plain .warc and multi-member .warc.gz (the Common
+    Crawl layout — one gzip member per record) both parse into pages
+    rows that flow through the normal extraction path; non-response
+    records are skipped and a truncated trailing record is dropped."""
+    import gzip
+
+    from xqspark.core.warc import build_warc, http_response_body, parse_warc
+    from xqspark.pipeline import extract_pages, read_warc
+
+    def page(i):
+        return (
+            f"http://w{i % 3}.example/p{i}",
+            f"2026-08-17T0{i % 10}:00:00Z",
+            f"<html><head><title>W{i}</title></head><body>x</body></html>".encode(),
+        )
+
+    recs1 = [page(i) for i in range(6)]
+    recs2 = [page(i) for i in range(6, 10)]
+    plain = build_warc(recs1)
+    # prepend a warcinfo record (must be skipped) + truncate a tail copy
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+    )
+    cut_off = build_warc([page(99)])[:-20]  # payload cut mid-record
+    (tmp_path / "a.warc").write_bytes(info + plain + cut_off)
+    # gz variant: one member PER RECORD, concatenated (CC layout)
+    members = b"".join(gzip.compress(build_warc([r])) for r in recs2)
+    (tmp_path / "b.warc.gz").write_bytes(members)
+
+    # core round-trip first
+    parsed = list(parse_warc(plain))
+    assert len(parsed) == 6
+    assert parsed[0][0]["warc-target-uri"] == "http://w0.example/p0"
+    assert http_response_body(parsed[0][1]).startswith(b"<html>")
+
+    pages = read_warc(spark, str(tmp_path))
+    rows = pages.collect()
+    assert len(rows) == 10  # 6 plain (truncated tail dropped) + 4 gz
+    assert all(r["warc_ts"] is not None for r in rows)
+
+    extracted = extract_pages(pages, mode="xpath-single", query="//title")
+    got = {r["url"]: r["extracted"] for r in extracted.collect()}
+    assert got["http://w0.example/p0"] == "W0\n"
+    assert got["http://w2.example/p8"] == "W8\n"
+    assert all(v.startswith("W") for v in got.values())
