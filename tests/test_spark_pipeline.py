@@ -714,3 +714,20 @@ def test_read_warc_end_to_end(spark, tmp_path):
     assert got["http://w0.example/p0"] == "W0\n"
     assert got["http://w2.example/p8"] == "W8\n"
     assert all(v.startswith("W") for v in got.values())
+
+
+def test_read_warc_contains_corrupt_files(spark, tmp_path):
+    """A corrupt member of the file listing (garbage bytes, bad gzip)
+    must not fail the task — its records are skipped, other files'
+    records survive (the per-file containment boundary)."""
+    from xqspark.core.warc import build_warc
+    from xqspark.pipeline import read_warc
+
+    good = build_warc(
+        [("http://ok.example/p", "2026-08-17T00:00:00Z", b"<html/>")]
+    )
+    (tmp_path / "good.warc").write_bytes(good)
+    (tmp_path / "garbage.warc").write_bytes(b"NOT A WARC AT ALL\r\njunk")
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b\x08 truncated nonsense")
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert [r["url"] for r in rows] == ["http://ok.example/p"]

@@ -109,18 +109,31 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches):
+        import zlib
+
+        from .core.warc import WarcError
+
         for b in batches:
             urls, tss, htmls = [], [], []
             for fpath, content in zip(b["path"], b["content"]):
-                data = bytes(content)
-                if fpath.endswith(".gz"):
-                    data = gzip.decompress(data)
-                for headers, payload in parse_warc(data):
-                    if headers.get("warc-type") != "response":
-                        continue
-                    urls.append(headers.get("warc-target-uri", ""))
-                    tss.append(pd.Timestamp(headers.get("warc-date")))
-                    htmls.append(http_response_body(payload))
+                try:
+                    data = bytes(content)
+                    if fpath.endswith(".gz"):
+                        data = gzip.decompress(data)
+                    # containment boundary is the FILE: records already
+                    # parsed from a file that later turns out corrupt
+                    # are kept, the rest of that file is skipped — a
+                    # bad file must never fail the task at crawl scale
+                    for headers, payload in parse_warc(data):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        urls.append(headers.get("warc-target-uri", ""))
+                        tss.append(pd.Timestamp(headers.get("warc-date")))
+                        htmls.append(http_response_body(payload))
+                except (WarcError, OSError, ValueError, TypeError, zlib.error):
+                    # BadGzipFile is an OSError subclass; a corrupt
+                    # deflate stream raises bare zlib.error
+                    continue
             yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
 
     return files.select("path", "content").mapInPandas(
