@@ -134,7 +134,17 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     # BadGzipFile is an OSError subclass; a corrupt
                     # deflate stream raises bare zlib.error
                     continue
-            yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls})
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    # empty list would default to float64, which Arrow
+                    # cannot cast to timestamp
+                    "warc_ts": pd.Series(
+                        tss, dtype="datetime64[ns]" if not tss else None
+                    ),
+                    "html": pd.Series(htmls, dtype="object"),
+                }
+            )
 
     return files.select("path", "content").mapInPandas(
         parse, "url string, warc_ts timestamp, html binary"
