@@ -2726,6 +2726,61 @@ def q_dedup_clusters_sql():
     )
 
 
+def q_sitemap_urls(spark, sf_dir, k: int = 4):
+    """Sitemap parsing — crawl-frontier construction: per doc build a
+    sitemaps.org <urlset> with ``k`` <url> entries (loc + lastmod
+    derived from doc fields), then recover (rank, loc, lastmod)
+    through the REAL XML parse + XPath path. ONE parse per doc: the
+    union query '//url/loc | //url/lastmod' returns both node sets
+    doc-order interleaved, and in-row even/odd de-interleaving pairs
+    them back — exercising the union evaluator, not just //name.
+    Scale: pandas-UDF projection + posexplode, no shuffle."""
+    from xqspark.udfs import make_xpath_values_udf
+
+    udf = make_xpath_values_udf("//url/loc | //url/lastmod")
+    entry = (
+        "concat('<url><loc>http://site', pmod(doc_id, 7), '.example/page/', "
+        "doc_id, '/', i, '</loc><lastmod>2026-08-', "
+        "lpad(cast(pmod(doc_id + i, 28) + 1 as string), 2, '0'), "
+        "'</lastmod></url>')"
+    )
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.expr(f"concat_ws('', transform(sequence(0, {k - 1}), i -> {entry}))"),
+        F.lit("</urlset>"),
+    )
+    vals = _docs(spark, sf_dir).select(
+        "doc_id", udf(xml.cast("binary")).alias("v")
+    )
+    paired = vals.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, cast(size(v)/2 as int) - 1), "
+            "i -> struct(v[2*i] as loc, v[2*i+1] as lastmod))"
+        ).alias("entries"),
+    )
+    return paired.select(
+        "doc_id", F.posexplode("entries").alias("rank", "e")
+    ).select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+    )
+
+
+def q_sitemap_urls_sql(k: int = 4):
+    return (
+        "SELECT doc_id, "
+        f"unnest(list_transform(range(0, {k}), i -> i::INT)) AS rank, "
+        f"unnest(list_transform(range(0, {k}), i -> 'http://site' || "
+        "(doc_id % 7) || '.example/page/' || doc_id || '/' || i)) AS loc, "
+        f"unnest(list_transform(range(0, {k}), i -> '2026-08-' || "
+        "lpad(((doc_id + i) % 28 + 1)::VARCHAR, 2, '0'))) AS lastmod "
+        "FROM documents"
+    )
+
+
 def q_c4_filter(spark, sf_dir, min_words_line: int = 8, min_lines: int = 3):
     """C4-style structural quality gate (Raffel et al. 2020, §2.2
     heuristics adapted to this corpus's line structure): drop LINES
@@ -2959,6 +3014,7 @@ QUERIES = {
     "link_graph": q_link_graph,
     "c4_filter": q_c4_filter,
     "ngram_counts": q_ngram_counts,
+    "sitemap_urls": q_sitemap_urls,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -3026,4 +3082,5 @@ ORACLES = {
     "link_graph": q_link_graph_sql(),
     "c4_filter": q_c4_filter_sql(),
     "ngram_counts": q_ngram_counts_sql(),
+    "sitemap_urls": q_sitemap_urls_sql(),
 }
