@@ -2726,6 +2726,71 @@ def q_dedup_clusters_sql():
     )
 
 
+def q_robots_check(spark, sf_dir):
+    """Robots-exclusion decisions — crawl politeness over the frontier:
+    per doc build a deterministic robots.txt (a decoy UA group that
+    must NOT be selected, then a '*' group exercising longest-match,
+    the allow tie-break, '*' wildcards and the '$' anchor) plus a path
+    list derived from doc fields, and evaluate every path through the
+    real RFC 9309 engine (core/robots.py). The oracle states the
+    closed-form expected decision per path shape, so ANY deviation in
+    group selection, precedence, or pattern matching breaks the hash.
+    Scale: one pandas-UDF projection + posexplode, no shuffle."""
+    from xqspark.udfs import make_robots_udf
+
+    udf = make_robots_udf("xqbot")
+    m3 = F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+    m2 = F.pmod(F.col("doc_id"), F.lit(2)).cast("string")
+    robots = F.concat(
+        F.lit(
+            "User-agent: otherbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        ),
+        F.lit("Disallow: /tmp"), m3, F.lit("$\n"),
+        F.lit("Disallow: /*.zip$\nAllow: /\n"),
+    )
+    paths = F.array(
+        F.concat(F.lit("/private/x"), m3),
+        F.concat(F.lit("/private/ok/y"), m3),
+        F.concat(F.lit("/tmp"), m3),
+        F.concat(F.lit("/tmp"), m3, F.lit("x")),
+        F.concat(F.lit("/file"), m2, F.lit(".zip")),
+        F.concat(F.lit("/file"), m2, F.lit(".zipx")),
+        F.concat(F.lit("/page"), m2),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", paths.alias("paths"), udf(robots, paths).alias("allowed")
+    )
+    zipped = docs.select(
+        "doc_id", F.posexplode(F.arrays_zip("paths", "allowed")).alias("rank", "z")
+    )
+    return zipped.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("z.paths").alias("path"),
+        F.col("z.allowed").alias("allowed"),
+    )
+
+
+def q_robots_check_sql():
+    # expected decision per rank: see q_robots_check's rule analysis
+    decisions = "[false, true, false, true, false, true, true]"
+    return (
+        "SELECT doc_id, "
+        "unnest(list_transform(range(0, 7), i -> i::INT)) AS rank, "
+        "unnest(list_transform(range(0, 7), i -> CASE i "
+        "WHEN 0 THEN '/private/x' || (doc_id % 3) "
+        "WHEN 1 THEN '/private/ok/y' || (doc_id % 3) "
+        "WHEN 2 THEN '/tmp' || (doc_id % 3) "
+        "WHEN 3 THEN '/tmp' || (doc_id % 3) || 'x' "
+        "WHEN 4 THEN '/file' || (doc_id % 2) || '.zip' "
+        "WHEN 5 THEN '/file' || (doc_id % 2) || '.zipx' "
+        "ELSE '/page' || (doc_id % 2) END)) AS path, "
+        f"unnest({decisions}) AS allowed "
+        "FROM documents"
+    )
+
+
 def q_sitemap_urls(spark, sf_dir, k: int = 4):
     """Sitemap parsing — crawl-frontier construction: per doc build a
     sitemaps.org <urlset> with ``k`` <url> entries (loc + lastmod
@@ -3015,6 +3080,7 @@ QUERIES = {
     "c4_filter": q_c4_filter,
     "ngram_counts": q_ngram_counts,
     "sitemap_urls": q_sitemap_urls,
+    "robots_check": q_robots_check,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -3083,4 +3149,5 @@ ORACLES = {
     "c4_filter": q_c4_filter_sql(),
     "ngram_counts": q_ngram_counts_sql(),
     "sitemap_urls": q_sitemap_urls_sql(),
+    "robots_check": q_robots_check_sql(),
 }

@@ -203,6 +203,23 @@ def make_css_values_udf(selector: str, attr: str = ""):
     return extract
 
 
+def make_robots_udf(user_agent: str = "xqbot"):
+    """RFC 9309 decisions: (robots_txt string, paths array) -> aligned
+    array<boolean>. The robots text is parsed ONCE per row and applied
+    to every path (crawl frontiers check many URLs per host)."""
+    from xqspark.core.robots import parse_robots
+
+    @pandas_udf(T.ArrayType(T.BooleanType()))
+    def check(robots: pd.Series, paths: pd.Series) -> pd.Series:
+        out = []
+        for text, ps in zip(robots, paths):
+            rules = parse_robots(text or "")
+            out.append([rules.is_allowed(user_agent, p) for p in ps])
+        return pd.Series(out, index=robots.index, dtype="object")
+
+    return check
+
+
 def make_link_pairs_udf(selector: str = "a", attr: str = "href"):
     """Outlink extraction for web-graph construction: ONE parse per page
     yields (attr value, anchor inner-text) pairs for every element the
