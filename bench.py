@@ -125,6 +125,13 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
         "winnow_fp",
         "winnow_pairs",
         "simhash_pairs",
+        # r5 ops (sitemap_urls/dedup_keep share these shapes and are
+        # left out to bound the run)
+        "c4_filter",
+        "ngram_counts",
+        "link_graph",
+        "robots_check",
+        "dedup_clusters",
     ]
     spark = build_session(cpus=cpus, app="xq-bench")
     spark.sparkContext.setLogLevel("ERROR")
