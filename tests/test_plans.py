@@ -352,6 +352,24 @@ def test_minhash_signature_is_map_only_projection(spark):
     assert "SortAggregate" not in lsh, lsh[:2000]
 
 
+def test_extraction_shaped_ops_have_no_exchange(spark):
+    """link_graph / sitemap_urls / robots_check are pandas-UDF
+    projections + a posexplode — at 100 TB they must stay shuffle-free
+    (the Generate multiplies rows in place; nothing repartitions)."""
+    for name in ("link_graph", "sitemap_urls", "robots_check"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "Exchange" not in plan, (name, plan[:1500])
+
+
+def test_ngram_counts_is_partial_agg_plus_take_ordered(spark):
+    """ngram_counts must partial-aggregate map-side and produce the
+    top-k via TakeOrdered — no global Sort materializing the full
+    vocabulary."""
+    plan = plan_of(QUERIES["ngram_counts"](spark, SF_DIR))
+    assert "partial_count" in plan or "HashAggregate" in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
 def test_map_only_quality_ops_have_no_exchange(spark):
     """repetition, url_normalize, (r4) simhash and (r5) c4_filter claim
     map-only plans at 100 TB — hold them to it: zero Exchange of any
