@@ -559,3 +559,30 @@ def test_tree_fallback_routing_still_engages():
     b = ht.HtmlTreeBuilder()
     want = tree_sig(b.feed(ht.HtmlTokenizer(doc).tokens()))
     assert tree_sig(ht.parse_html(doc)) == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=200), st.text(max_size=40))
+def test_robots_total(doc, path):
+    """parse_robots + is_allowed are total on arbitrary text (crawl
+    reality: robots.txt is often HTML, garbage, or truncated)."""
+    from xqspark.core.robots import parse_robots
+
+    rules = parse_robots(doc)
+    assert rules.is_allowed("anybot", path) in (True, False)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_warc_total(data):
+    """parse_warc either yields records, stops (truncation), or raises
+    the declared WarcError — never anything else; http_response_body is
+    total on whatever payload comes out."""
+    from xqspark.core.warc import WarcError, http_response_body, parse_warc
+
+    try:
+        for headers, payload in parse_warc(data):
+            assert isinstance(headers, dict)
+            http_response_body(payload)
+    except WarcError:
+        pass
