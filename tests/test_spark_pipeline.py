@@ -731,3 +731,30 @@ def test_read_warc_contains_corrupt_files(spark, tmp_path):
     (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b\x08 truncated nonsense")
     rows = read_warc(spark, str(tmp_path)).collect()
     assert [r["url"] for r in rows] == ["http://ok.example/p"]
+
+
+def test_unigram_logprob_discriminates_and_is_map_only(spark, tmp_path):
+    """The CCNet-style score must (a) rank rare-token gibberish below
+    common-word text on a corpus where both exist, and (b) keep the
+    scoring pass map-only — the vocabulary rides the plan as a map
+    literal, the token stream never shuffles."""
+    import pyspark.sql.functions as F
+
+    from xqspark.queries import QUERIES, q_unigram_logprob
+
+    common = "the quick brown fox jumps over the lazy dog again " * 5
+    rows = (
+        [(i, common, "en", "s", 100) for i in range(20)]
+        + [(99, "zxqv9 kjw3p qqzx8 vbn2m plo9i werty8 zzzap", "en", "s", 40)]
+    )
+    d = str(tmp_path / "uni")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r["logprob"] for r in q_unigram_logprob(spark, d).collect()}
+    assert got[99] < got[0] - 1.0, got  # gibberish at least 10x less probable
+
+    df = QUERIES["unigram_logprob"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Generate" not in plan, plan[:1500]

@@ -2726,6 +2726,78 @@ def q_dedup_clusters_sql():
     )
 
 
+def q_unigram_logprob(spark, sf_dir, vocab_k: int = 256):
+    """CCNet-style language-model quality score (Wenzek et al. 2020
+    filter corpora by LM perplexity; the unigram model is its
+    dependency-free core): score = mean log10 unigram probability of
+    the doc's tokens under the corpus' own top-``vocab_k`` vocabulary,
+    OOV floored at half a count. Low (very negative) scores = rare-
+    token gibberish; high = common-word text.
+
+    Scale shape: pass 1 aggregates (token, count) + the total token
+    count and fetches only the BOUNDED top-k vocabulary to the driver
+    (count desc, token asc tie-break — both engines cut identical
+    rows); pass 2 is MAP-ONLY — the vocabulary rides the plan as a map
+    literal (the line_dedup hot-set pattern) and scoring is one in-row
+    aggregate per doc, no Generate, no shuffle of the token stream
+    (a join-based scorer would shuffle every token at 100 TB).
+
+    Cross-engine float discipline: per-token log-probs become INTEGER
+    micro-log units (floor(log10(p) * 1e6)) so the per-doc sum is
+    exact integer arithmetic — summation ORDER cannot diverge between
+    engines; the only runtime float ops are one division and one
+    round(4), both IEEE-exact given identical inputs."""
+    import math
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 1)
+    counts = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c")).collect()[0][0]
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_k).collect()
+    )
+    lp = {
+        r["tok"]: math.floor(math.log10(r["c"] / total) * 1_000_000)
+        for r in vocab
+    }
+    floor_lp = math.floor(math.log10(0.5 / total) * 1_000_000)
+    map_lit = "map(" + ", ".join(
+        f"'{t}', {v}L" for t, v in sorted(lp.items())
+    ) + ")"
+    score = F.expr(
+        f"round(aggregate(t, 0L, (a, x) -> a + coalesce(element_at({map_lit}, x), "
+        f"{floor_lp}L), a -> cast(a as double)) / (size(t) * 1e6), 4)"
+    )
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tok"),
+        score.alias("logprob"),
+    )
+
+
+def q_unigram_logprob_sql(vocab_k: int = 256):
+    return (
+        "WITH toks AS (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t "
+        "FROM documents WHERE len(regexp_extract_all(trim(text), '\\S+')) >= 1), "
+        "cnt AS (SELECT unnest(t) AS tok FROM toks), "
+        "c AS (SELECT tok, count(*)::BIGINT AS c FROM cnt GROUP BY tok), "
+        "tot AS (SELECT sum(c)::BIGINT AS total FROM c), "
+        f"vocab AS (SELECT tok, floor(log10(c / (SELECT total FROM tot)) * 1000000)::BIGINT "
+        f"AS lp FROM c ORDER BY c DESC, tok ASC LIMIT {vocab_k}), "
+        "vm AS (SELECT map(list(tok), list(lp)) AS m, "
+        "floor(log10(0.5 / (SELECT total FROM tot)) * 1000000)::BIGINT AS fl FROM vocab) "
+        "SELECT doc_id, len(t)::BIGINT AS n_tok, "
+        "round(list_sum(list_transform(t, x -> "
+        "coalesce(map_extract(m, x)[1], fl)))::DOUBLE / (len(t) * 1e6), 4) "
+        "AS logprob FROM toks, vm"
+    )
+
+
 def q_robots_check(spark, sf_dir):
     """Robots-exclusion decisions — crawl politeness over the frontier:
     per doc build a deterministic robots.txt (a decoy UA group that
@@ -3081,6 +3153,7 @@ QUERIES = {
     "ngram_counts": q_ngram_counts,
     "sitemap_urls": q_sitemap_urls,
     "robots_check": q_robots_check,
+    "unigram_logprob": q_unigram_logprob,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -3150,4 +3223,5 @@ ORACLES = {
     "ngram_counts": q_ngram_counts_sql(),
     "sitemap_urls": q_sitemap_urls_sql(),
     "robots_check": q_robots_check_sql(),
+    "unigram_logprob": q_unigram_logprob_sql(),
 }
