@@ -758,3 +758,18 @@ def test_unigram_logprob_discriminates_and_is_map_only(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
     assert "Generate" not in plan, plan[:1500]
+
+
+def test_unigram_logprob_vocab_tokens_are_escaped(spark, tmp_path):
+    """Vocabulary tokens are DATA inlined into a SQL map literal —
+    apostrophe/backslash tokens must be escaped, not break the expr."""
+    from xqspark.queries import q_unigram_logprob
+
+    text = "don't can't won't it's o'brien back\\slash " * 10
+    d = str(tmp_path / "uniq")
+    spark.createDataFrame(
+        [(0, text, "en", "s", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = q_unigram_logprob(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["logprob"] is not None

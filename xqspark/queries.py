@@ -2766,8 +2766,14 @@ def q_unigram_logprob(spark, sf_dir, vocab_k: int = 256):
         for r in vocab
     }
     floor_lp = math.floor(math.log10(0.5 / total) * 1_000_000)
+
+    def esc(s: str) -> str:
+        # tokens are data, the map is a SQL literal: escape or an
+        # apostrophe/backslash token breaks (or injects into) the expr
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     map_lit = "map(" + ", ".join(
-        f"'{t}', {v}L" for t, v in sorted(lp.items())
+        f"'{esc(t)}', {v}L" for t, v in sorted(lp.items())
     ) + ")"
     score = F.expr(
         f"round(aggregate(t, 0L, (a, x) -> a + coalesce(element_at({map_lit}, x), "
