@@ -77,3 +77,14 @@ def test_rows_only_queries(spark):
     for name in set(entrymod.queries()) - set(entrymod.oracle_sql()):
         df = entrymod.queries()[name](spark, SF_DIR)
         assert df.count() > 0, name
+
+
+def test_queries_and_oracles_key_order_identical():
+    """The driver-row rotation slices the first 50 entries of BOTH
+    dicts; divergent key order would pair a query window with a
+    different oracle window (code-review r5 find)."""
+    import __spark_entry__ as e
+    from xqspark.queries import ORACLES, QUERIES
+
+    assert list(QUERIES) == list(ORACLES)
+    assert list(e.queries()) == list(e.oracle_sql())

@@ -189,6 +189,10 @@ _HTML_FMT_FRAGS = [
     '<a b = c>', '<a b =c>', '<a b= "c">', '<a b = >', '<a b=c d>',
     '<a b c>', '<a b == c>', '<a b="x" c = \'y\' d=z e>',
     '<input type = "text" value= ok>',
+    # unquoted values ending '/': raw-end "/>"  makes the tag
+    # SELF-CLOSING with the '/' kept in the value (code-review r5 find)
+    '<a foo=bar/>x</a>', '<div id=x/>t</div>', '<a href=/path/>link</a>',
+    '<a b=c/ >x', '<script src=/s.js/></script>', '<a foo="x/">',
 ]
 
 

@@ -67,3 +67,18 @@ def test_defaults_and_edge_cases():
     # case-insensitive directives and UA tokens
     r = parse_robots("USER-AGENT: MyBot\nDISALLOW: /x\n")
     assert r.is_allowed("mybot", "/x/y") is False
+
+
+def test_repeated_ua_groups_combine():
+    """RFC 9309 §2.2.1: multiple groups matching the same UA combine
+    their rules (code-review r5 find — only the first group was used)."""
+    r = parse_robots(
+        "User-agent: xqbot\nDisallow: /a\n\n"
+        "User-agent: xqbot\nDisallow: /b\n\n"
+        "User-agent: *\nDisallow: /c\n\nUser-agent: *\nDisallow: /d\n"
+    )
+    assert r.is_allowed("xqbot", "/a/x") is False
+    assert r.is_allowed("xqbot", "/b/x") is False  # second group combined
+    assert r.is_allowed("xqbot", "/c/x") is True  # '*' not combined w/ exact
+    assert r.is_allowed("other", "/c/x") is False
+    assert r.is_allowed("other", "/d/x") is False  # both '*' groups combine

@@ -773,3 +773,21 @@ def test_unigram_logprob_vocab_tokens_are_escaped(spark, tmp_path):
     ).write.parquet(f"{d}/documents.parquet")
     rows = q_unigram_logprob(spark, d).collect()
     assert len(rows) == 1 and rows[0]["logprob"] is not None
+
+
+def test_read_warc_bad_date_keeps_lists_aligned(spark, tmp_path):
+    """A record with a malformed WARC-Date aborts that file WITHOUT
+    fabricating a misaligned row: records before the bad one survive,
+    no NaT/null-html phantom appears (code-review r5 find)."""
+    from xqspark.core.warc import build_warc
+    from xqspark.pipeline import read_warc
+
+    recs = [
+        ("http://ok.example/a", "2026-08-17T00:00:00Z", b"<html/>"),
+        ("http://bad.example/b", "not-a-date", b"<html/>"),
+        ("http://ok.example/c", "2026-08-17T00:00:02Z", b"<html/>"),
+    ]
+    (tmp_path / "d.warc").write_bytes(build_warc(recs))
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert [r["url"] for r in rows] == ["http://ok.example/a"]
+    assert all(r["warc_ts"] is not None and r["html"] is not None for r in rows)

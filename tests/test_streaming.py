@@ -384,3 +384,41 @@ def test_neardup_ingest_incremental(spark):
         assert spark.read.parquet(out).count() == 4
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_neardup_ingest_replay_keeps_output(spark):
+    """Crash-replay safety (code-review r5 find): a batch replayed
+    AFTER its band-store write committed but BEFORE the checkpoint did
+    must not collide with its own first-attempt bands — the rerun must
+    reproduce the same output, not overwrite it with an empty one."""
+    from xqspark.pipeline import PAGES_SCHEMA
+    from xqspark.streaming import _neardup_ingest_batch
+
+    base = tempfile.mkdtemp(prefix="xq_ndi_replay_")
+    out, store = f"{base}/out", f"{base}/store"
+    try:
+        batch = spark.createDataFrame(
+            [
+                ("http://h/x", None, b"<x/>", "unique words for doc x here now", "en"),
+                ("http://h/y", None, b"<x/>", "other content entirely different words", "en"),
+            ],
+            PAGES_SCHEMA,
+        )
+        _neardup_ingest_batch(batch, 0, out, store)
+        first = {r["url"] for r in spark.read.parquet(out).collect()}
+        assert first == {"http://h/x", "http://h/y"}
+        # simulate the crash-replay: same batch, same batch_id, with the
+        # first attempt's bands already in the store
+        _neardup_ingest_batch(batch, 0, out, store)
+        again = {r["url"] for r in spark.read.parquet(out).collect()}
+        assert again == first, "replay emptied the batch output"
+        # and a LATER batch still drops against batch 0's bands
+        dup = spark.createDataFrame(
+            [("http://h/x2", None, b"<x/>", "unique words for doc x here now", "en")],
+            PAGES_SCHEMA,
+        )
+        _neardup_ingest_batch(dup, 1, out, store)
+        all_urls = {r["url"] for r in spark.read.parquet(out).collect()}
+        assert all_urls == first  # x2 dropped as a near-dup of x
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -144,7 +144,12 @@ def _format_html_fused(s: str, indent: str) -> str:
             # ---- HStartTag formatter branch ----
             if level > 0:
                 write(newline + indent * level)
-            self_closing = bool(m.group(3)) or name in VOID_TAGS
+            # x/net/html rule: self-closing iff the RAW tag ends "/>" —
+            # an unquoted value ending in '/' (href=/path/>) makes the
+            # tag self-closing with the '/' kept IN the value; checking
+            # the raw end (not the regex's trailing (/?) group, which an
+            # attr-consumed '/' leaves empty) mirrors that exactly
+            self_closing = s[pos - 2] == "/" or name in VOID_TAGS
             if attrs_raw:
                 parts = [name]
                 for am in _FUSED_H_ATTR.finditer(attrs_raw):

@@ -30,13 +30,17 @@ class RobotsRules:
 
     def _group_for(self, ua: str):
         ua = ua.lower()
-        exact = star = None
+        # RFC 9309 §2.2.1: when more than one group matches the same
+        # user-agent, their rules are COMBINED (repeated-UA groups are
+        # common in real robots.txt); exact-token groups beat '*'
+        exact: list = []
+        star: list = []
         for agents, rules in self.groups:
-            if exact is None and ua in agents:
-                exact = rules
-            if star is None and "*" in agents:
-                star = rules
-        return exact if exact is not None else star
+            if ua in agents:
+                exact.extend(rules)
+            if "*" in agents:
+                star.extend(rules)
+        return exact if exact else star
 
     def is_allowed(self, ua: str, path: str) -> bool:
         rules = self._group_for(ua)

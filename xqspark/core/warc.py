@@ -88,6 +88,10 @@ def build_warc(records) -> bytes:
             f"Content-Length: {len(http)}\r\n"
             "Content-Type: application/http; msgtype=response\r\n"
             "\r\n"
-        ).encode()
+        ).encode("latin-1")  # the reader decodes latin-1 (spec octet
+        # rule) — utf-8 here would mojibake non-ASCII URIs on the
+        # round-trip this writer exists to pin; URIs with chars outside
+        # latin-1 must be percent-encoded by the caller (as real
+        # crawlers do)
         out.append(header + http + b"\r\n\r\n")
     return b"".join(out)

@@ -127,8 +127,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     for headers, payload in parse_warc(data):
                         if headers.get("warc-type") != "response":
                             continue
+                        # convert BEFORE any append: a bad WARC-Date
+                        # raising mid-record must not leave the three
+                        # lists misaligned (pandas would fabricate a
+                        # NaT/NaN row from the ragged dict)
+                        ts = pd.Timestamp(headers.get("warc-date"))
                         urls.append(headers.get("warc-target-uri", ""))
-                        tss.append(pd.Timestamp(headers.get("warc-date")))
+                        tss.append(ts)
                         htmls.append(http_response_body(payload))
                 except (WarcError, OSError, ValueError, TypeError, zlib.error):
                     # BadGzipFile is an OSError subclass; a corrupt

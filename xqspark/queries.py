@@ -2749,9 +2749,15 @@ def q_unigram_logprob(spark, sf_dir, vocab_k: int = 256):
     round(4), both IEEE-exact given identical inputs."""
     import math
 
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 1)
+    # filter the ['']-for-empty-text artifact of split(trim(...)): the
+    # oracle's regexp_extract_all('\\S+') yields [] for such docs, and
+    # a phantom '' token would also pollute the vocabulary counts
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        .withColumn("t", F.expr("filter(t, x -> x != '')"))
+        .filter(F.size("t") >= 1)
+    )
     counts = (
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
@@ -3033,7 +3039,8 @@ def q_link_graph(spark, sf_dir, k: int = 5):
     html = F.concat(
         F.lit("<html><body><nav>"),
         F.expr(
-            f"concat_ws('', transform(slice(split(trim(text), '\\\\s+'), 1, {k}), "
+            "concat_ws('', transform(slice(filter(split(trim(text), '\\\\s+'), "
+            f"x -> x != ''), 1, {k}), "
             "(tok, i) -> concat('<a href=\"/d', doc_id, '/', i, '\">', tok, '</a>')))"
         ),
         F.lit('</nav><p>body text</p><a href="/out">outside nav</a>'
@@ -3231,3 +3238,11 @@ ORACLES = {
     "robots_check": q_robots_check_sql(),
     "unigram_logprob": q_unigram_logprob_sql(),
 }
+
+# The driver-row rotation in __spark_entry__ slices the first 50 entries
+# of BOTH dicts, so their key ORDER must be identical — normalize here
+# (insertion points drifted once; code-review r5 find)
+assert set(ORACLES) == set(QUERIES), (
+    set(ORACLES) ^ set(QUERIES)
+)
+ORACLES = {k: ORACLES[k] for k in QUERIES}

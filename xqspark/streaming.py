@@ -294,45 +294,11 @@ def neardup_ingest(
     semi-join on band keys (Spark picks by size); in production the
     store would live in a table format with compaction, which this
     directory layout stands in for."""
-    import os
-
-    from pyspark.sql import Window as W
-
-    from .queries import band_keys_df, minhash_sig_df
-
-    bands_dir = f"{store_dir}/bands"
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        batch = batch.persist()
-        sig = minhash_sig_df(batch, n_hashes=n_bands * n_rows, id_col="url")
-        bands = band_keys_df(sig, n_bands, n_rows, id_col="url").persist()
-
-        dropped = None
-        if os.path.isdir(bands_dir) and any(
-            e.startswith("ingest_batch=") for e in os.listdir(bands_dir)
-        ):
-            seen = spark.read.parquet(bands_dir).select("band")
-            dropped = (
-                bands.join(seen, "band", "left_semi").select("url").distinct()
-            )
-        # in-batch: every band keeps its first url only
-        first = bands.withColumn(
-            "rnk", F.row_number().over(W.partitionBy("band").orderBy("url"))
+        _neardup_ingest_batch(
+            batch, batch_id, out_dir, store_dir, n_bands, n_rows
         )
-        later = first.filter(F.col("rnk") > 1).select("url").distinct()
-        dropped = later if dropped is None else dropped.union(later).distinct()
-        kept = batch.join(dropped, "url", "left_anti")
-
-        kept.write.mode("overwrite").parquet(
-            f"{out_dir}/ingest_batch={batch_id}"
-        )
-        kept_bands = bands.join(kept.select("url"), "url", "left_semi")
-        kept_bands.write.mode("overwrite").parquet(
-            f"{bands_dir}/ingest_batch={batch_id}"
-        )
-        bands.unpersist()
-        batch.unpersist()
 
     return (
         pages_stream.writeStream.foreachBatch(ingest)
@@ -340,6 +306,63 @@ def neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _neardup_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    n_bands: int = 2,
+    n_rows: int = 2,
+) -> None:
+    """One neardup_ingest microbatch (module-level so the crash-replay
+    path is directly testable — foreachBatch runs this on the driver)."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from .queries import band_keys_df, minhash_sig_df
+
+    bands_dir = f"{store_dir}/bands"
+    spark = batch.sparkSession
+    batch = batch.persist()
+    sig = minhash_sig_df(batch, n_hashes=n_bands * n_rows, id_col="url")
+    bands = band_keys_df(sig, n_bands, n_rows, id_col="url").persist()
+
+    dropped = None
+    if os.path.isdir(bands_dir) and any(
+        e.startswith("ingest_batch=") for e in os.listdir(bands_dir)
+    ):
+        # STRICTLY-EARLIER batches only: a replayed batch (crash after
+        # the bands write but before the checkpoint commit) must not
+        # collide with its OWN first-attempt bands — that would drop
+        # every doc and overwrite the real output with an empty one.
+        # The directory layout is a Hive partition (ingest_batch=<id>),
+        # so the filter also prunes the scan.
+        seen = (
+            spark.read.parquet(bands_dir)
+            .filter(F.col("ingest_batch") < batch_id)
+            .select("band")
+        )
+        dropped = (
+            bands.join(seen, "band", "left_semi").select("url").distinct()
+        )
+    # in-batch: every band keeps its first url only
+    first = bands.withColumn(
+        "rnk", F.row_number().over(W.partitionBy("band").orderBy("url"))
+    )
+    later = first.filter(F.col("rnk") > 1).select("url").distinct()
+    dropped = later if dropped is None else dropped.union(later).distinct()
+    kept = batch.join(dropped, "url", "left_anti")
+
+    kept.write.mode("overwrite").parquet(f"{out_dir}/ingest_batch={batch_id}")
+    kept_bands = bands.join(kept.select("url"), "url", "left_semi")
+    kept_bands.write.mode("overwrite").parquet(
+        f"{bands_dir}/ingest_batch={batch_id}"
+    )
+    bands.unpersist()
+    batch.unpersist()
 
 
 def run_stream_to_parquet(
