@@ -131,6 +131,7 @@ def _headline_bench(sf_dir: str, cpus: int, repeats: int = 3) -> dict:
         "ngram_counts",
         "link_graph",
         "robots_check",
+        "unigram_logprob",
         "dedup_clusters",
     ]
     spark = build_session(cpus=cpus, app="xq-bench")
