@@ -791,3 +791,36 @@ def test_read_warc_bad_date_keeps_lists_aligned(spark, tmp_path):
     rows = read_warc(spark, str(tmp_path)).collect()
     assert [r["url"] for r in rows] == ["http://ok.example/a"]
     assert all(r["warc_ts"] is not None and r["html"] is not None for r in rows)
+
+
+def test_dedup_pipeline_cross_op_invariants(spark):
+    """Metamorphic invariants across the near-dup op family at sf0.01:
+    (1) dedup_keep's kept set is exactly all docs minus cluster
+    non-representatives (partition, no overlap, nothing lost);
+    (2) every lsh pair's endpoints share a dedup_clusters cluster_id
+    (pairs are edges of the components); (3) every cluster has exactly
+    one representative and it equals the member minimum."""
+    from pyspark.sql import functions as F
+
+    from xqspark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters"](spark, sf).collect()
+    }
+    kept = {r["doc_id"]: r["is_cluster_rep"] for r in QUERIES["dedup_keep"](spark, sf).collect()}
+    all_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").select("doc_id").collect()
+    }
+    dropped = {d for d, c in clusters.items() if d != c}
+    assert set(kept) == all_ids - dropped  # exact partition
+    assert all(kept[d] == (d in clusters) for d in kept)  # rep flag honest
+    for a_b in QUERIES["lsh_pairs"](spark, sf).collect():
+        assert clusters[a_b["doc_a"]] == clusters[a_b["doc_b"]]
+    by_cluster: dict = {}
+    for d, c in clusters.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)  # representative is the member min
