@@ -258,3 +258,40 @@ def test_pdf_containment():
     for blob in cases:
         parse_pdf_meta(blob)
         assert isinstance(extract_pdf_text(blob), str)  # never raises
+
+
+def test_resize_and_features_real_numpy_path():
+    """The non-fake stages of the pixel pipeline: nearest-neighbor
+    resize picks arr[r*H//oh, c*W//ow] (identity when dims match,
+    corner-correct when downscaling) and features are exact
+    mean/population-std floored at 4dp."""
+    import numpy as np
+
+    from xqspark.multimodal import (
+        _floor4,
+        fake_decode_luma,
+        frame_sample_offsets,
+        luma_features,
+        resize_nearest,
+    )
+
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert (resize_nearest(a, 8, 8) == a).all()  # identity
+    half = resize_nearest(a, 4, 4)
+    assert half[0, 0] == a[0, 0] and half[3, 3] == a[6, 6]
+
+    const = np.full((5, 7), 9, dtype=np.uint8)
+    m, sd = luma_features(const)
+    assert m == 9.0 and sd == 0.0
+
+    # the .00005-boundary case round() would split on: sum=2 over 64
+    assert _floor4(2 / 64) == 0.0312
+
+    # fake decode is deterministic and shaped (h, w)
+    g1 = fake_decode_luma(b"abc", 20, 10)
+    g2 = fake_decode_luma(b"abc", 20, 10)
+    assert g1.shape == (10, 20) and (g1 == g2).all()
+    assert fake_decode_luma(b"abd", 20, 10).tolist() != g1.tolist()
+
+    assert frame_sample_offsets(1000, 4) == [125, 375, 625, 875]
+    assert frame_sample_offsets(7, 4) == [0, 2, 4, 6]

@@ -260,3 +260,72 @@ def pixel_decode_stub(data: bytes) -> None:
         "pixel decode is out of scope here — plug in an image library "
         "and swap this stub"
     )
+
+
+# --- pixel pipeline: FAKE decode, REAL resize/features ----------------------
+#
+# The decode step below is a clearly-marked DETERMINISTIC FAKE (no image
+# libs in this container): it tiles the md5 digest of the payload's
+# uppercase hex into an (h, w) uint8 luma grid. Everything DOWNSTREAM —
+# nearest-neighbor resize and the feature statistics — is real numpy and
+# works unchanged the day fake_decode_luma is swapped for PIL/cv2.
+# Determinism is the point: the DuckDB oracle recomputes the resized
+# pixel values in closed form, so the whole Spark-side pipeline (blob
+# synthesis -> header parse -> decode -> resize -> features, batch
+# shapes and null handling included) is value-hash-checked end to end.
+
+
+def fake_decode_luma(data: bytes, w: int, h: int):
+    """FAKE decoder: (h, w) uint8 grid with
+    pixel[r, c] = md5(hex(data).upper())[(r*w + c) % 16]."""
+    import hashlib
+
+    import numpy as np
+
+    digest = hashlib.md5(data.hex().upper().encode()).digest()
+    row = np.frombuffer(digest, dtype=np.uint8)
+    idx = (np.arange(h)[:, None] * w + np.arange(w)[None, :]) % 16
+    return row[idx]
+
+
+def resize_nearest(arr, out_h: int, out_w: int):
+    """REAL nearest-neighbor resize (pure numpy indexing):
+    out[r, c] = arr[r*H//out_h, c*W//out_w]."""
+    import numpy as np
+
+    h, w = arr.shape
+    rr = (np.arange(out_h) * h) // out_h
+    cc = (np.arange(out_w) * w) // out_w
+    return arr[rr][:, cc]
+
+
+def _floor4(x: float) -> float:
+    """4dp truncation — FLOOR, not round: Python round() is banker's
+    while SQL round() is half-away-from-zero, and pixel means (int/64)
+    land EXACTLY on .00005 boundaries whenever the sum is 2 mod 4, so
+    rounding would diverge between engines; floor never does."""
+    import math
+
+    return math.floor(x * 10000) / 10000
+
+
+def luma_features(arr) -> tuple[float, float]:
+    """REAL features: (mean, population std) of the luma grid, floored
+    to 4dp — the sums stay exact in float64 so both engines agree
+    bit-for-bit (see _floor4 for why not round)."""
+    import numpy as np
+
+    flat = arr.astype(np.float64)
+    n = flat.size
+    s = float(flat.sum())
+    sq = float((flat * flat).sum())
+    mean = s / n
+    var = sq / n - mean * mean
+    return _floor4(mean), _floor4(max(var, 0.0) ** 0.5)
+
+
+def frame_sample_offsets(duration_ms: int, n: int) -> list[int]:
+    """Deterministic frame-sample timestamps: the midpoints of ``n``
+    equal slices of the duration (the standard keyframe-thumbnail
+    policy), integer ms."""
+    return [(duration_ms * (2 * k + 1)) // (2 * n) for k in range(n)]

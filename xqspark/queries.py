@@ -2049,6 +2049,184 @@ _PNG_BLOB_BYTES = 33  # sig(8) + len(4) + IHDR(4) + w(4) + h(4) + ihdr tail(5) +
 _JPEG_BLOB_BYTES = 41  # SOI(2) + APP0(18) + SOF0(19) + EOI(2)
 
 
+def q_image_pipeline(spark, sf_dir):
+    """Image decode -> resize -> feature-extract plumbing, end to end:
+    real PNG containers synthesized JVM-side, the header parsed by the
+    REAL struct reader, pixels produced by the clearly-marked
+    DETERMINISTIC FAKE decoder (multimodal.fake_decode_luma — swap for
+    PIL/cv2 in production), then REAL numpy nearest-neighbor resize to
+    8x8 and REAL mean/std features. Because the fake pixels are a
+    closed-form function of the payload's md5, the DuckDB oracle
+    recomputes the resized grid and both features exactly — the entire
+    Spark pipeline (blob synthesis, mapInPandas batch shape, decode,
+    resize indexing, feature math, 4dp floor discipline) is
+    value-hash-checked. Scale: one mapInPandas projection, no shuffle;
+    per-row work is O(w*h) exactly like a real decoder."""
+    from xqspark.multimodal import (
+        fake_decode_luma,
+        luma_features,
+        parse_image_meta,
+        resize_nearest,
+    )
+
+    w = (F.pmod(F.col("doc_id"), F.lit(640)) + 16).cast("int")
+    h = (F.pmod(F.col("doc_id"), F.lit(480)) + 9).cast("int")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("0806000000DEADBEEF"),
+    )
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.unhex(png_hex).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fmts, ws, hs, means, stds = [], [], [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                data = bytes(payload)
+                fmt, iw, ih = parse_image_meta(data)  # REAL header parse
+                arr = fake_decode_luma(data, iw, ih)  # FAKE pixels
+                small = resize_nearest(arr, 8, 8)     # REAL resize
+                m, sd = luma_features(small)          # REAL features
+                ids.append(doc_id)
+                fmts.append(fmt)
+                ws.append(iw)
+                hs.append(ih)
+                means.append(m)
+                stds.append(sd)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "px_mean": pd.Series(means, dtype="float64"),
+                    "px_std": pd.Series(stds, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, fmt string, width int, height int, "
+        "px_mean double, px_std double",
+    )
+
+
+def q_image_pipeline_sql():
+    # the fake decoder's pixel law: px[r,c] = md5(HEX)[ (r*W + c) % 16 ];
+    # nearest 8x8 picks rr = r*H//8, cc = c*W//8
+    hexpr = (
+        "upper('89504E470D0A1A0A0000000D49484452' || printf('%08X', W) || "
+        "printf('%08X', H) || '0806000000DEADBEEF')"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, (doc_id % 640 + 16)::INT AS W, "
+        "(doc_id % 480 + 9)::INT AS H FROM documents), "
+        f"g AS (SELECT doc_id, W, H, md5({hexpr}) AS dg FROM d), "
+        "b AS (SELECT doc_id, W, H, list_transform(range(0, 16), "
+        "i -> ('0x' || substr(dg, i * 2 + 1, 2))::INT) AS by FROM g), "
+        "px AS (SELECT doc_id, W, H, list_transform(range(0, 64), "
+        "k -> by[((((k // 8) * H // 8) * W + ((k % 8) * W // 8)) % 16) + 1]) "
+        "AS p FROM b), "
+        "s AS (SELECT doc_id, W, H, list_sum(p)::DOUBLE AS sm, "
+        "list_sum(list_transform(p, x -> x * x))::DOUBLE AS sq FROM px) "
+        "SELECT doc_id, 'png' AS fmt, W AS width, H AS height, "
+        "floor((sm / 64) * 10000) / 10000 AS px_mean, "
+        "floor(sqrt(greatest(sq / 64 - (sm / 64) * (sm / 64), 0)) * 10000) "
+        "/ 10000 AS px_std FROM s"
+    )
+
+
+def q_video_frames(spark, sf_dir, n_frames: int = 4):
+    """Video frame-sample plumbing: real MP4 containers (mvhd duration
+    parsed by the REAL box walk), deterministic midpoint timestamps
+    (multimodal.frame_sample_offsets — the keyframe-thumbnail policy),
+    per-frame FAKE luma whose mean the oracle recomputes in closed
+    form. Garbage every 4th row is contained (no frames emitted), same
+    as multimodal_video. One mapInPandas + in-row explosion to
+    (doc_id, frame_idx, ts_ms, frame_mean); no shuffle."""
+    import hashlib
+
+    from xqspark.multimodal import frame_sample_offsets, parse_video_meta
+
+    def be(colexpr, nbytes):
+        return F.lpad(F.hex(colexpr), 2 * nbytes, "0")
+
+    timescale = (F.lit(1000) * (F.pmod(F.col("doc_id"), F.lit(3)) + 1)).cast("int")
+    duration = (F.pmod(F.col("doc_id"), F.lit(5000)) + 1).cast("int")
+    mp4_hex = F.concat(
+        F.lit("000000106674797069736F6D00000200"),
+        F.lit("00000074"), F.lit("6D6F6F76"),
+        F.lit("0000006C"), F.lit("6D766864"),
+        F.lit("00000000"),
+        F.lit("00000000"), F.lit("00000000"),
+        be(timescale, 4), be(duration, 4),
+        F.lit("0" * 160),
+    )
+    blob = F.when(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+        F.encode(F.col("source"), "UTF-8"),
+    ).otherwise(F.unhex(mp4_hex))
+    df = _docs(spark, sf_dir).select("doc_id", blob.alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xqspark.multimodal import _floor4
+
+        for batch in batches:
+            ids, idxs, tss, means = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                data = bytes(payload)
+                meta = parse_video_meta(data)  # REAL box walk
+                if meta is None:
+                    continue  # garbage row: no frames
+                _fmt, tscale, dur = meta
+                duration_ms = dur * 1000 // tscale
+                hx = data.hex().upper()
+                for k, ts in enumerate(
+                    frame_sample_offsets(duration_ms, n_frames)
+                ):
+                    dg = hashlib.md5(f"{hx}-{k}".encode()).digest()
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    tss.append(ts)
+                    means.append(_floor4(sum(dg) / 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run, "doc_id long, frame_idx int, ts_ms long, frame_mean double"
+    )
+
+
+def q_video_frames_sql(n_frames: int = 4):
+    hexpr = (
+        "upper('000000106674797069736F6D00000200' || '00000074' || '6D6F6F76' "
+        "|| '0000006C' || '6D766864' || '00000000' || '00000000' || '00000000' "
+        "|| printf('%08X', TS) || printf('%08X', DUR) || repeat('0', 160))"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, (1000 * (doc_id % 3 + 1))::INT AS TS, "
+        "(doc_id % 5000 + 1)::INT AS DUR FROM documents WHERE doc_id % 4 <> 0), "
+        f"g AS (SELECT doc_id, DUR * 1000 // TS AS dms, {hexpr} AS hx FROM d), "
+        f"fr AS (SELECT doc_id, dms, unnest(range(0, {n_frames})) AS k, hx FROM g), "
+        "m AS (SELECT doc_id, k::INT AS frame_idx, "
+        f"(dms * (2 * k + 1)) // (2 * {n_frames}) AS ts_ms, "
+        "md5(hx || '-' || k) AS dg FROM fr) "
+        "SELECT doc_id, frame_idx, ts_ms::BIGINT AS ts_ms, "
+        "floor((list_sum(list_transform(range(0, 16), "
+        "i -> ('0x' || substr(dg, i * 2 + 1, 2))::INT))::DOUBLE / 16) * 10000) "
+        "/ 10000 AS frame_mean FROM m"
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal decode: binary image blobs synthesized JVM-side per row
     (real PNG signature+IHDR / JPEG SOI+APP0+SOF0 containers, dimensions
@@ -3167,6 +3345,8 @@ QUERIES = {
     "sitemap_urls": q_sitemap_urls,
     "robots_check": q_robots_check,
     "unigram_logprob": q_unigram_logprob,
+    "image_pipeline": q_image_pipeline,
+    "video_frames": q_video_frames,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -3237,6 +3417,8 @@ ORACLES = {
     "sitemap_urls": q_sitemap_urls_sql(),
     "robots_check": q_robots_check_sql(),
     "unigram_logprob": q_unigram_logprob_sql(),
+    "image_pipeline": q_image_pipeline_sql(),
+    "video_frames": q_video_frames_sql(),
 }
 
 # The driver-row rotation in __spark_entry__ slices the first 50 entries
