@@ -2227,6 +2227,110 @@ def q_video_frames_sql(n_frames: int = 4):
     )
 
 
+def q_audio_windows(spark, sf_dir, n_windows: int = 4):
+    """Audio window-sample plumbing (the frame-sample analog for the
+    audio modality): real RIFF/WAVE duration from the struct reader,
+    deterministic midpoint window timestamps, per-window FAKE RMS the
+    oracle recomputes in closed form. Garbage every 5th row contained.
+    One mapInPandas, no shuffle — same shape as video_frames."""
+    import hashlib
+
+    from xqspark.multimodal import frame_sample_offsets, parse_audio_meta
+
+    def le(colexpr, nbytes):
+        h = F.lpad(F.hex(colexpr), 2 * nbytes, "0")
+        return F.concat(
+            *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+        )
+
+    c = (F.pmod(F.col("doc_id"), F.lit(2)) + 1).cast("int")
+    rate = (F.lit(8000) * (F.pmod(F.col("doc_id"), F.lit(4)) + 1)).cast("int")
+    frames = (F.pmod(F.col("doc_id"), F.lit(100)) + 1).cast("int")
+    block = (c * 2).cast("int")
+    data_size = (frames * block).cast("int")
+    byte_rate = (rate * block).cast("int")
+    wav_hex = F.concat(
+        F.lit("52494646"), le(F.lit(36) + data_size, 4), F.lit("57415645"),
+        F.lit("666D7420"), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(c, 2), le(rate, 4), le(byte_rate, 4),
+        le(block, 2), le(F.lit(16), 2),
+        F.lit("64617461"), le(data_size, 4),
+    )
+    blob = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.encode(F.col("source"), "UTF-8"),
+    ).otherwise(F.unhex(wav_hex))
+    df = _docs(spark, sf_dir).select("doc_id", blob.alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xqspark.multimodal import _floor4
+
+        for batch in batches:
+            ids, idxs, tss, rmss = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                meta = parse_audio_meta(bytes(payload))  # REAL struct read
+                if meta is None:
+                    continue  # garbage row: no windows
+                _fmt, _ch, srate, n_frames = meta
+                duration_ms = n_frames * 1000 // srate
+                hx = bytes(payload).hex().upper()
+                for k, ts in enumerate(
+                    frame_sample_offsets(duration_ms, n_windows)
+                ):
+                    dg = hashlib.md5(f"{hx}-{k}".encode()).digest()
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    tss.append(ts)
+                    rmss.append(_floor4(sum(dg) / 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run, "doc_id long, win_idx int, ts_ms long, rms double"
+    )
+
+
+def _le_sql(expr: str, nbytes: int) -> str:
+    h = f"printf('%0{2 * nbytes}X', {expr})"
+    return " || ".join(
+        f"substr({h}, {2 * i + 1}, 2)" for i in range(nbytes - 1, -1, -1)
+    )
+
+
+def q_audio_windows_sql(n_windows: int = 4):
+    hexpr = (
+        "'52494646' || " + _le_sql("36 + DS", 4) + " || '57415645' || "
+        "'666D7420' || " + _le_sql("16", 4) + " || " + _le_sql("1", 2)
+        + " || " + _le_sql("C", 2) + " || " + _le_sql("RATE", 4) + " || "
+        + _le_sql("BR", 4) + " || " + _le_sql("BLK", 2) + " || "
+        + _le_sql("16", 2) + " || '64617461' || " + _le_sql("DS", 4)
+    )
+    return (
+        "WITH d AS (SELECT doc_id, (doc_id % 2 + 1)::INT AS C, "
+        "(8000 * (doc_id % 4 + 1))::INT AS RATE, "
+        "(doc_id % 100 + 1)::INT AS FRAMES FROM documents "
+        "WHERE doc_id % 5 <> 0), "
+        "e AS (SELECT doc_id, C, RATE, FRAMES, (C * 2)::INT AS BLK, "
+        "(FRAMES * C * 2)::INT AS DS, (RATE * C * 2)::INT AS BR FROM d), "
+        f"g AS (SELECT doc_id, FRAMES * 1000 // RATE AS dms, "
+        f"upper({hexpr}) AS hx FROM e), "
+        f"fr AS (SELECT doc_id, dms, unnest(range(0, {n_windows})) AS k, hx FROM g), "
+        "m AS (SELECT doc_id, k::INT AS win_idx, "
+        f"(dms * (2 * k + 1)) // (2 * {n_windows}) AS ts_ms, "
+        "md5(hx || '-' || k) AS dg FROM fr) "
+        "SELECT doc_id, win_idx, ts_ms::BIGINT AS ts_ms, "
+        "floor((list_sum(list_transform(range(0, 16), "
+        "i -> ('0x' || substr(dg, i * 2 + 1, 2))::INT))::DOUBLE / 16) * 10000) "
+        "/ 10000 AS rms FROM m"
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal decode: binary image blobs synthesized JVM-side per row
     (real PNG signature+IHDR / JPEG SOI+APP0+SOF0 containers, dimensions
@@ -3347,6 +3451,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "image_pipeline": q_image_pipeline,
     "video_frames": q_video_frames,
+    "audio_windows": q_audio_windows,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -3419,6 +3524,7 @@ ORACLES = {
     "unigram_logprob": q_unigram_logprob_sql(),
     "image_pipeline": q_image_pipeline_sql(),
     "video_frames": q_video_frames_sql(),
+    "audio_windows": q_audio_windows_sql(),
 }
 
 # The driver-row rotation in __spark_entry__ slices the first 50 entries
