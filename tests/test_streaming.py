@@ -422,3 +422,49 @@ def test_neardup_ingest_replay_keeps_output(spark):
         assert all_urls == first  # x2 dropped as a near-dup of x
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_band_store_preserves_dedup(spark):
+    """Compacting the band store between triggers must not change
+    semantics: later batches still drop against pre-compaction bands,
+    and the partition count shrinks to one."""
+    import os
+
+    from xqspark.pipeline import PAGES_SCHEMA
+    from xqspark.streaming import _neardup_ingest_batch, compact_band_store
+
+    base = tempfile.mkdtemp(prefix="xq_compact_")
+    out, store = f"{base}/out", f"{base}/store"
+
+    def row(url, text):
+        return (url, None, b"<x/>", text, "en")
+
+    try:
+        b0 = spark.createDataFrame(
+            [row("http://h/a", "alpha beta gamma delta content words")],
+            PAGES_SCHEMA,
+        )
+        b1 = spark.createDataFrame(
+            [row("http://h/b", "completely different second document text")],
+            PAGES_SCHEMA,
+        )
+        _neardup_ingest_batch(b0, 0, out, store)
+        _neardup_ingest_batch(b1, 1, out, store)
+        n = compact_band_store(spark, store)
+        assert n == 1
+        parts = [
+            e for e in os.listdir(f"{store}/bands")
+            if e.startswith("ingest_batch=")
+        ]
+        assert parts == ["ingest_batch=1"]
+        # a later batch replaying content from batch 0 still drops
+        b2 = spark.createDataFrame(
+            [row("http://h/a2", "alpha beta gamma delta content words"),
+             row("http://h/c", "yet another brand new page body here")],
+            PAGES_SCHEMA,
+        )
+        _neardup_ingest_batch(b2, 2, out, store)
+        urls = {r["url"] for r in spark.read.parquet(out).collect()}
+        assert urls == {"http://h/a", "http://h/b", "http://h/c"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -365,6 +365,42 @@ def _neardup_ingest_batch(
     batch.unpersist()
 
 
+def compact_band_store(spark: SparkSession, store_dir: str) -> int:
+    """Rewrite the band store's accumulated ingest_batch partitions into
+    ONE partition keyed at the highest committed batch id — the
+    compaction a table format would do automatically. Long-running
+    ingestion otherwise accretes one small partition per microbatch
+    (listing cost + small files).
+
+    Precondition: run BETWEEN triggers (no batch pending replay). Safe
+    under that: replays only ever target the LATEST batch id, and the
+    compacted partition keeps id = max committed, so a replay of batch
+    N > max still sees every compacted band via the strictly-earlier
+    filter, while its own partition (> max) is untouched. Returns the
+    number of partitions compacted away."""
+    import os
+    import shutil
+
+    bands_dir = f"{store_dir}/bands"
+    if not os.path.isdir(bands_dir):
+        return 0
+    parts = sorted(
+        e for e in os.listdir(bands_dir) if e.startswith("ingest_batch=")
+    )
+    if len(parts) <= 1:
+        return 0
+    max_id = max(int(p.split("=", 1)[1]) for p in parts)
+    all_bands = spark.read.parquet(bands_dir).drop("ingest_batch")
+    tmp = f"{store_dir}/_compact_tmp"
+    all_bands.coalesce(max(1, len(parts) // 8)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    for p in parts:
+        shutil.rmtree(f"{bands_dir}/{p}", ignore_errors=True)
+    os.replace(tmp, f"{bands_dir}/ingest_batch={max_id}")
+    return len(parts) - 1
+
+
 def run_stream_to_parquet(
     pages_stream: DataFrame,
     out_dir: str,
