@@ -2227,6 +2227,66 @@ def q_video_frames_sql(n_frames: int = 4):
     )
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Corpus datasheet — the one-row summary a dataset release ships
+    with, composed from the engine's own signals: size, token counts,
+    language spread (top language by count with deterministic
+    tie-break), exact-duplicate exposure (docs sharing a content
+    fingerprint), and near-duplicate pair count (the capped LSH path).
+    Scale shape: four independent bounded aggregates cross-joined as
+    1-row sides — each is its own partial-agg tree, nothing quadratic,
+    and the output is a single row regardless of corpus size."""
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.expr("filter(split(trim(text), '\\\\s+'), x -> x != '')"))
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    top_lang = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    fp = docs.select(
+        F.md5(
+            F.encode(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), "UTF-8"
+            )
+        ).alias("fp")
+    )
+    dup = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_exact_dup_docs"))
+    )
+    near = lsh_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_pairs")
+    )
+    return base.crossJoin(top_lang).crossJoin(dup).crossJoin(near)
+
+
+def q_corpus_stats_sql():
+    return (
+        "SELECT "
+        "(SELECT count(*) FROM documents)::BIGINT AS n_docs, "
+        "(SELECT sum(len(regexp_extract_all(trim(text), '\\S+'))) "
+        "FROM documents)::BIGINT AS total_tokens, "
+        "(SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_langs, "
+        "(SELECT lang FROM documents GROUP BY lang "
+        "ORDER BY count(*) DESC, lang ASC LIMIT 1) AS top_lang, "
+        "(SELECT coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM ("
+        "SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp "
+        "FROM documents) GROUP BY fp HAVING count(*) > 1))::BIGINT "
+        "AS n_exact_dup_docs, "
+        "(SELECT count(*) FROM (" + q_lsh_pairs_sql() + "))::BIGINT "
+        "AS n_neardup_pairs"
+    )
+
+
 def q_audio_windows(spark, sf_dir, n_windows: int = 4):
     """Audio window-sample plumbing (the frame-sample analog for the
     audio modality): real RIFF/WAVE duration from the struct reader,
@@ -3452,6 +3512,7 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "video_frames": q_video_frames,
     "audio_windows": q_audio_windows,
+    "corpus_stats": q_corpus_stats,
     "hash_split": q_hash_split,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
@@ -3525,6 +3586,7 @@ ORACLES = {
     "image_pipeline": q_image_pipeline_sql(),
     "video_frames": q_video_frames_sql(),
     "audio_windows": q_audio_windows_sql(),
+    "corpus_stats": q_corpus_stats_sql(),
 }
 
 # The driver-row rotation in __spark_entry__ slices the first 50 entries
