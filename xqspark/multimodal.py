@@ -329,3 +329,14 @@ def frame_sample_offsets(duration_ms: int, n: int) -> list[int]:
     equal slices of the duration (the standard keyframe-thumbnail
     policy), integer ms."""
     return [(duration_ms * (2 * k + 1)) // (2 * n) for k in range(n)]
+
+
+def fake_sample_stat(payload_hex: str, k: int) -> float:
+    """FAKE per-sample statistic shared by video_frames (frame luma
+    mean) and audio_windows (window RMS): mean of the 16
+    md5(hex || '-' || k) digest bytes, floored 4dp — the closed form
+    both DuckDB oracles recompute."""
+    import hashlib
+
+    dg = hashlib.md5(f"{payload_hex}-{k}".encode()).digest()
+    return _floor4(sum(dg) / 16)

@@ -2147,8 +2147,6 @@ def q_video_frames(spark, sf_dir, n_frames: int = 4):
     form. Garbage every 4th row is contained (no frames emitted), same
     as multimodal_video. One mapInPandas + in-row explosion to
     (doc_id, frame_idx, ts_ms, frame_mean); no shuffle."""
-    import hashlib
-
     from xqspark.multimodal import frame_sample_offsets, parse_video_meta
 
     def be(colexpr, nbytes):
@@ -2172,7 +2170,7 @@ def q_video_frames(spark, sf_dir, n_frames: int = 4):
     df = _docs(spark, sf_dir).select("doc_id", blob.alias("payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from xqspark.multimodal import _floor4
+        from xqspark.multimodal import fake_sample_stat
 
         for batch in batches:
             ids, idxs, tss, means = [], [], [], []
@@ -2187,11 +2185,10 @@ def q_video_frames(spark, sf_dir, n_frames: int = 4):
                 for k, ts in enumerate(
                     frame_sample_offsets(duration_ms, n_frames)
                 ):
-                    dg = hashlib.md5(f"{hx}-{k}".encode()).digest()
                     ids.append(doc_id)
                     idxs.append(k)
                     tss.append(ts)
-                    means.append(_floor4(sum(dg) / 16))
+                    means.append(fake_sample_stat(hx, k))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -2293,8 +2290,6 @@ def q_audio_windows(spark, sf_dir, n_windows: int = 4):
     deterministic midpoint window timestamps, per-window FAKE RMS the
     oracle recomputes in closed form. Garbage every 5th row contained.
     One mapInPandas, no shuffle — same shape as video_frames."""
-    import hashlib
-
     from xqspark.multimodal import frame_sample_offsets, parse_audio_meta
 
     def le(colexpr, nbytes):
@@ -2323,7 +2318,7 @@ def q_audio_windows(spark, sf_dir, n_windows: int = 4):
     df = _docs(spark, sf_dir).select("doc_id", blob.alias("payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from xqspark.multimodal import _floor4
+        from xqspark.multimodal import fake_sample_stat
 
         for batch in batches:
             ids, idxs, tss, rmss = [], [], [], []
@@ -2337,11 +2332,10 @@ def q_audio_windows(spark, sf_dir, n_windows: int = 4):
                 for k, ts in enumerate(
                     frame_sample_offsets(duration_ms, n_windows)
                 ):
-                    dg = hashlib.md5(f"{hx}-{k}".encode()).digest()
                     ids.append(doc_id)
                     idxs.append(k)
                     tss.append(ts)
-                    rmss.append(_floor4(sum(dg) / 16))
+                    rmss.append(fake_sample_stat(hx, k))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
