@@ -27,6 +27,20 @@ def explain_str(df) -> str:
     )
 
 
+def data_exchanges(plan: str) -> int:
+    """Exchange nodes other than the adaptive input spread (r6): an
+    under-parallel scan — single-file single-row-group parquet, the
+    bench/test corpus layout — is round-robin repartitioned once right
+    after the read (queries._spread). That exchange never fires on a
+    properly-laid-out production corpus, so the map-only 100 TB claims
+    are asserted net of it."""
+    import re
+
+    return len(re.findall(r"Exchange ", plan)) - len(
+        re.findall(r"Exchange RoundRobinPartitioning", plan)
+    )
+
+
 def test_filter_pushdown_and_column_pruning(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
@@ -217,7 +231,7 @@ def test_line_dedup_clean_pass_is_map_only(spark):
 
     df = line_dedup(spark, SF_DIR)
     plan = plan_of(df)
-    assert "Exchange" not in plan, plan[:1500]
+    assert data_exchanges(plan) == 0, plan[:1500]
     assert "Generate" not in plan, plan[:1500]
     assert "array_contains" in plan  # the literal hot-set filter engaged
     # behavior: exactly the nav (5 variants, ~100x each) and footer (3
@@ -246,7 +260,7 @@ def test_line_dedup_broadcast_mode_parity_and_map_only(spark):
     assert inline == bcast
 
     plan = plan_of(bcast_df)
-    assert "Exchange" not in plan, plan[:1500]
+    assert data_exchanges(plan) == 0, plan[:1500]
     assert "Generate" not in plan, plan[:1500]
     assert "ArrowEvalPython" in plan or "Python" in plan  # the bc-set UDF
 
@@ -271,7 +285,7 @@ def test_winnow_fp_is_map_only_and_detects_shared_passages(spark):
     from xqspark.queries import winnow_fp
 
     plan = plan_of(winnow_fp(spark, SF_DIR))
-    assert "Exchange" not in plan and "Generate" not in plan, plan[:1500]
+    assert data_exchanges(plan) == 0 and "Generate" not in plan, plan[:1500]
 
     shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
     rows = [
@@ -345,7 +359,7 @@ def test_minhash_signature_is_map_only_projection(spark):
     plan = plan_of(QUERIES["minhash_sig"](spark, SF_DIR))
     assert "Generate" not in plan, plan[:1500]
     assert "SortAggregate" not in plan and "HashAggregate" not in plan, plan[:1500]
-    assert "Exchange" not in plan, plan[:1500]
+    assert data_exchanges(plan) == 0, plan[:1500]
     assert "array_min" in plan  # the in-row min really is in the projection
     # and the full LSH pipeline must not reintroduce a signature aggregation
     lsh = plan_of(QUERIES["lsh_pairs"](spark, SF_DIR))
@@ -358,7 +372,7 @@ def test_extraction_shaped_ops_have_no_exchange(spark):
     (the Generate multiplies rows in place; nothing repartitions)."""
     for name in ("link_graph", "sitemap_urls", "robots_check"):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
-        assert "Exchange" not in plan, (name, plan[:1500])
+        assert data_exchanges(plan) == 0, (name, plan[:1500])
 
 
 def test_ngram_counts_is_partial_agg_plus_take_ordered(spark):
@@ -376,5 +390,5 @@ def test_map_only_quality_ops_have_no_exchange(spark):
     kind."""
     for name in ("repetition", "url_normalize", "simhash", "c4_filter"):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
-        assert "Exchange" not in plan, (name, plan[:1500])
+        assert data_exchanges(plan) == 0, (name, plan[:1500])
         assert "Generate" not in plan, (name, plan[:1500])

@@ -756,8 +756,14 @@ def test_unigram_logprob_discriminates_and_is_map_only(spark, tmp_path):
 
     df = QUERIES["unigram_logprob"](spark, "/root/testdata/sf0.01")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan[:1500]
+    # net of the r6 adaptive input spread (queries._spread), the scoring
+    # pass stays shuffle-free: the vocab ships as a broadcast dict into
+    # an Arrow-vectorized UDF (r6), the token stream never shuffles
+    from test_plans import data_exchanges
+
+    assert data_exchanges(plan) == 0, plan[:1500]
     assert "Generate" not in plan, plan[:1500]
+    assert "ArrowEvalPython" in plan, plan[:1500]  # the broadcast-dict scorer
 
 
 def test_unigram_logprob_vocab_tokens_are_escaped(spark, tmp_path):

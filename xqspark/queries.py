@@ -29,8 +29,57 @@ from pyspark.sql import Window as W
 _LOG = logging.getLogger("xqspark")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input spread (opt guide §2.5 "input skew": one
+    huge unsplittable file -> repartition immediately after the read).
+
+    The bench corpora are single-file single-ROW-GROUP parquet, so the
+    scan is ONE task no matter how the split configs are set (a row
+    group is the atomic parquet read unit) — without this, every
+    downstream map-only projection runs on 1 of the machine's cores
+    (measured r6: simhash 17.0 s -> ~1 s at sf1.0 on local[32]).
+
+    The repartition fires ONLY when the scan's actual partition count
+    cannot fill the machine, so it is derived from the input layout,
+    not a local[32] constant: a production corpus has >= cores splits
+    (many files / many row groups), the condition is false, and the
+    read stays exchange-free exactly where the 100 TB map-only plan
+    claims need it to be. When it does fire, the one round-robin
+    exchange carries the raw input once (column pruning and pushed
+    filters still land below it), which is the guide's prescription
+    for an under-parallel source.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n_scan = df._jdf.rdd().getNumPartitions()
+    except Exception:  # defensive: never let introspection block a read
+        return df
+    if n_scan < target:
+        return df.repartition(target * 2)
+    return df
+
+
+def _nopush(pred):
+    """AND a vacuously-true non-deterministic guard onto an expensive
+    predicate so Catalyst cannot push it below the input-spread
+    exchange into the scan, where the tokenize projection it references
+    would be inlined and re-evaluated per document on the scan's ONE
+    core (the serial sibling of the r5 winnow_pairs explode finding;
+    guide §4.4's non-determinism escape hatch applied to a JVM filter).
+    ``rand(0) >= 0`` is always true, so results are unchanged. The
+    guard must be the CASE-WHEN *condition*, not an AND-conjunct: the
+    optimizer splits conjunctions and pushes the deterministic half
+    anyway."""
+    return F.when(F.rand(0) >= 0, pred).otherwise(F.lit(False))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _page_html(doc_col="text", title_col="source"):
@@ -555,7 +604,7 @@ def q_dedup_groups_sql():
 
 
 def q_latest_event_per_user(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         events.withColumn("rn", F.row_number().over(w))
@@ -641,7 +690,7 @@ def q_supplier_revenue_sql():
 
 
 def q_events_hourly(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
@@ -805,7 +854,7 @@ def minhash_sig_df(
     docs = df.select(
         id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
-    docs = docs.filter(F.size("t") >= 3)
+    docs = docs.filter(_nopush(F.size("t") >= 3))
     sh = docs.select(
         id_col,
         F.expr(
@@ -968,15 +1017,18 @@ def _shingles(docs: DataFrame) -> DataFrame:
     decontamination."""
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 3)
+    ).filter(_nopush(F.size("t") >= 3))
     return toks.select(
         "doc_id",
-        F.explode(
+        # explode_outer: stop the inferred size>0 filter from inlining
+        # the shingle construction into the serial scan (r5 pattern);
+        # size(t) >= 3 guarantees a non-empty array, so no outer row
+        F.explode_outer(
             F.expr(
                 "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
             )
         ).alias("shingle"),
-    )
+    ).filter(F.col("shingle").isNotNull())
 
 
 def q_decontaminate(spark, sf_dir):
@@ -1166,7 +1218,7 @@ def _cosine_top_k(pairs: DataFrame, k: int = 3) -> DataFrame:
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-3 for the first 10 query vectors. The dot
     product runs JVM-side via higher-order functions (zip_with/aggregate)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -1195,7 +1247,7 @@ def q_ann_ivf_label(spark, sf_dir):
     """IVF-style ANN: the label column is the coarse quantizer — search
     only within the query's bucket (the 100 TB scale path: a bucket join
     instead of a full cross join)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -1287,7 +1339,7 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     the scan, search is a bucket equi-join with the tiny query side
     broadcast. Plan-asserted in test_plans.py: no Exchange and no
     Generate between the scan and the bucket join."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("v")
     )
     return _bucket_topk(_assign_buckets(emb, _seed_centroids(emb, 8)))
@@ -1333,7 +1385,7 @@ def ivf_lloyd_centroids(
     data). Means are rounded to ``round_dp`` decimals so the DuckDB twin
     (same rule in SQL) lands on identical centroids; an emptied bucket
     keeps its previous centroid on both engines."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("v")
     )
     cents = [[float(x) for x in cv] for cv in _seed_centroids(emb, k)]
@@ -1365,7 +1417,7 @@ def q_ann_ivf_lloyd(spark, sf_dir):
     literals), search stays a bucket equi-join; only k*dim floats ever
     reach the driver per iteration."""
     cents = ivf_lloyd_centroids(spark, sf_dir, k=8, iters=2)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("v")
     )
     return _bucket_topk(_assign_buckets(emb, cents))
@@ -1414,7 +1466,7 @@ def _doc_lines(spark, sf_dir, extra_cols: tuple = ()):
             *[e.alias(nm) for nm, e in extra_cols],
         )
         .withColumn("t", F.expr("filter(t, x -> x != '')"))
-        .filter(F.size("t") >= 1)
+        .filter(_nopush(F.size("t") >= 1))
     )
     nav = F.concat(
         F.lit("nav menu home about contact site "),
@@ -1469,7 +1521,13 @@ def line_dedup(
         raise ValueError(f"line_dedup mode must be inline|broadcast: {mode}")
     lines_df = _doc_lines(spark, sf_dir)
     counts = (
-        lines_df.select(F.explode("lines").alias("line"))
+        # explode_OUTER + isNotNull (r5 winnow_pairs pattern): plain
+        # explode lets Catalyst infer size(lines) > 0 and push it into
+        # the serial scan, re-evaluating the whole lines construction
+        # there (measured r6: 4.8 s -> ~1.2 s at sf1.0). lines always
+        # has nav+footer, so the outer row never appears.
+        lines_df.select(F.explode_outer("lines").alias("line"))
+        .filter(F.col("line").isNotNull())
         .select(F.md5(F.encode("line", "UTF-8")).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1566,7 +1624,7 @@ def _winnow_fps(spark, sf_dir, k: int = 3, w: int = 4) -> DataFrame:
         _docs(spark, sf_dir)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
         .withColumn("t", F.expr("filter(t, x -> x != '')"))
-        .filter(F.size("t") >= k + w - 1)
+        .filter(_nopush(F.size("t") >= k + w - 1))
     )
     grams = docs.select(
         "doc_id",
@@ -1796,7 +1854,7 @@ def embedding_neardup(
 
     ``on_dropped(n_hot_labels)`` + ``cache_out`` follow the lsh_pairs
     contract (persist before the extra action; caller unpersists)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("v"), "label"
     )
     sized = emb.withColumn(
@@ -2769,7 +2827,7 @@ def q_simhash(spark, sf_dir):
         _docs(spark, sf_dir)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
         .withColumn("t", F.expr("filter(t, x -> x != '')"))
-        .filter(F.size("t") >= 1)
+        .filter(_nopush(F.size("t") >= 1))
     )
     hashed = docs.select(
         "doc_id",
@@ -2860,7 +2918,7 @@ def simhash_pairs(
     melted = sig.select(
         "doc_id",
         *[F.col(f"simhash_w{w}") for w in range(4)],
-        F.posexplode(
+        F.posexplode_outer(
             F.array(*[F.col(f"simhash_w{w}") for w in range(4)])
         ).alias("wi", "wv"),
     )
@@ -3092,39 +3150,56 @@ def q_unigram_logprob(spark, sf_dir, vocab_k: int = 256):
         _docs(spark, sf_dir)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
         .withColumn("t", F.expr("filter(t, x -> x != '')"))
-        .filter(F.size("t") >= 1)
+        .filter(_nopush(F.size("t") >= 1))
     )
+    # one counting job, persisted: total and top-k are two bounded
+    # driver fetches over the TINY (vocab-sized) counts table instead
+    # of two full explode+groupBy passes over the token stream
+    # (r6, guide §1.2: don't compute things twice)
     counts = (
-        toks.select(F.explode("t").alias("tok"))
+        toks.select(F.explode_outer("t").alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     total = counts.agg(F.sum("c")).collect()[0][0]
     vocab = (
         counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_k).collect()
     )
+    counts.unpersist()
     lp = {
         r["tok"]: math.floor(math.log10(r["c"] / total) * 1_000_000)
         for r in vocab
     }
     floor_lp = math.floor(math.log10(0.5 / total) * 1_000_000)
 
-    def esc(s: str) -> str:
-        # tokens are data, the map is a SQL literal: escape or an
-        # apostrophe/backslash token breaks (or injects into) the expr
-        return s.replace("\\", "\\\\").replace("'", "\\'")
+    # scoring pass (r6): the vocabulary ships as a broadcast dict into
+    # an Arrow-vectorized UDF — O(1) hash lookups per token, where the
+    # old map(...) SQL literal was an O(vocab_k) LINEAR probe per token
+    # (Catalyst's GetMapValue scans ArrayBasedMapData; measured ~1.3 s
+    # of the 3.5 s at sf1.0). Per-token scores stay exact integer
+    # micro-log units, so the Python sum is bit-identical to the old
+    # in-row aggregate; the only float ops (one division, one round)
+    # stay JVM-side, unchanged. This is also the line_dedup
+    # mode="broadcast" scale story: vocab_k is no longer bounded by
+    # plan-literal size (VERDICT r5 #2).
+    lp_bc = spark.sparkContext.broadcast((lp, floor_lp))
 
-    map_lit = "map(" + ", ".join(
-        f"'{esc(t)}', {v}L" for t, v in sorted(lp.items())
-    ) + ")"
-    score = F.expr(
-        f"round(aggregate(t, 0L, (a, x) -> a + coalesce(element_at({map_lit}, x), "
-        f"{floor_lp}L), a -> cast(a as double)) / (size(t) * 1e6), 4)"
-    )
+    @F.pandas_udf("long")
+    def _score_sum(ts: pd.Series) -> pd.Series:
+        vocab_lp, fl = lp_bc.value
+        g = vocab_lp.get
+        return ts.map(
+            lambda t: sum(g(x, fl) for x in t)
+        ).astype("int64")
+
     return toks.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tok"),
-        score.alias("logprob"),
+        F.round(
+            _score_sum("t").cast("double") / (F.size("t") * F.lit(1e6)), 4
+        ).alias("logprob"),
     )
 
 
@@ -3333,9 +3408,9 @@ def q_ngram_counts(spark, sf_dir, n: int = 2, k: int = 20):
     asc) so both engines cut the same k rows."""
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= n)
+    ).filter(_nopush(F.size("t") >= n))
     grams = toks.select(
-        F.explode(
+        F.explode_outer(
             F.expr(
                 f"transform(sequence(0, size(t)-{n}), i -> "
                 + "concat_ws(' ', "
@@ -3343,7 +3418,7 @@ def q_ngram_counts(spark, sf_dir, n: int = 2, k: int = 20):
                 + "))"
             )
         ).alias("gram")
-    )
+    ).filter(F.col("gram").isNotNull())
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("gram")).limit(k)
 
@@ -3385,9 +3460,13 @@ def q_link_graph(spark, sf_dir, k: int = 5):
     docs = _docs(spark, sf_dir).select(
         "doc_id", udf(html.cast("binary")).alias("links")
     )
+    # posexplode_OUTER + isNotNull: plain posexplode makes Catalyst
+    # infer size(links) > 0 and evaluate the parse UDF TWICE (one
+    # ArrowEvalPython below the inferred filter, one for the
+    # projection — guide §4.4's duplication, seen live in the r6 plan)
     return docs.select(
-        "doc_id", F.posexplode("links").alias("rank", "link")
-    ).select(
+        "doc_id", F.posexplode_outer("links").alias("rank", "link")
+    ).filter(F.col("rank").isNotNull()).select(
         "doc_id",
         F.col("rank").cast("int").alias("rank"),
         F.col("link.href").alias("href"),
