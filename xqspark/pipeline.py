@@ -70,6 +70,23 @@ def build_session(
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r6 (guide §3.1/§9): allow shuffled-hash joins when a build
+        # side fits — the capped pair joins (band_cap/fp_cap/word_cap
+        # bound every build partition) were paying sort-merge sorts for
+        # nothing; measured -0.2..-0.5 s per pair query at sf1.0
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
+        # r6 (guide §6): row-group-sized input splits so a multi-row-
+        # group file (sf1.0 lineitem: 6 x ~22 MB) scans in parallel
+        # without a shuffle. Parameterised: on a production cluster
+        # with many files per scan, set 512m-1g (guide §6) — splits
+        # only need to be small where files are few relative to cores
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html blobs are multi-MB: keep Arrow batches small to bound

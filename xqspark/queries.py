@@ -74,8 +74,18 @@ def _nopush(pred):
     return F.when(F.rand(0) >= 0, pred).otherwise(F.lit(False))
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+def _docs(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """``spread=False`` opts a query out of the input spread: measured
+    r6, the one extra exchange LOSES when the per-row work is light and
+    the query aggregates immediately (dedup_groups 0.56 -> 1.22 s,
+    events_hourly 0.27 -> 1.50 s spread at sf1.0) and WINS everywhere
+    per-row work is heavy — UDF parses and per-token HOFs (simhash
+    17.0 -> 1.5 s, repetition 3.6 -> 0.57 s, quality_score
+    2.4 -> 0.54 s). Aggregate-first consumers pass spread=False."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(df) if spread else df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +344,7 @@ def q_charset_decl(spark, sf_dir):
     payload = F.concat(
         prefix, F.lit('<?xml version="1.0" encoding="'), enc, F.lit('"?><a/>')
     )
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, spread=False).select(
         "doc_id", declared_charset_col(payload).alias("charset")
     )
 
@@ -553,7 +563,7 @@ def q_detect_format(spark, sf_dir):
         .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("<!doctype html><p>x</p>"))
         .otherwise(F.lit("<root/>"))
     )
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, spread=False).select(
         "doc_id", content_type_col(payload).alias("fmt")
     )
 
@@ -570,7 +580,7 @@ def q_detect_format_sql():
 
 def q_host_topk(spark, sf_dir):
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("source"))
@@ -588,7 +598,7 @@ def q_host_topk_sql():
 def q_dedup_groups(spark, sf_dir):
     key = F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 3))
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .select(key.alias("dedup_key"), "doc_id")
         .groupBy("dedup_key")
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
@@ -604,7 +614,7 @@ def q_dedup_groups_sql():
 
 
 def q_latest_event_per_user(spark, sf_dir):
-    events = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         events.withColumn("rn", F.row_number().over(w))
@@ -624,7 +634,7 @@ def q_latest_event_per_user_sql():
 
 def q_lineage_buckets(spark, sf_dir):
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .withColumn("part_key", F.pmod(F.col("doc_id"), F.lit(16)))
         .groupBy("part_key")
         .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
@@ -690,7 +700,7 @@ def q_supplier_revenue_sql():
 
 
 def q_events_hourly(spark, sf_dir):
-    events = _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
@@ -785,7 +795,7 @@ def q_lang_id_sql():
 
 def q_fingerprint(spark, sf_dir):
     normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, spread=False).select(
         "doc_id", F.md5(F.encode(normalized, "UTF-8")).alias("fp")
     )
 
@@ -1188,19 +1198,36 @@ def q_jaccard_adjacent_sql():
     )
 
 
-_COSINE_EXPR = (
+_DOT_EXPR = (
     "aggregate(zip_with(qv, nv, (x, y) -> cast(x as double) * cast(y as double)), "
-    "0D, (acc, v) -> acc + v) / "
-    "(sqrt(aggregate(transform(qv, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v)) * "
-    "sqrt(aggregate(transform(nv, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v)))"
+    "0D, (acc, v) -> acc + v)"
 )
 
 
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """L2 norm as a per-ROW projection on the join SIDE (r6, guide
+    §1.2): the norms used to live inside the per-PAIR cosine expression,
+    re-running the 64-dim aggregate per candidate pair (the query side's
+    norm 20k times per query). Same aggregate, same operand order, so
+    sqrt(agg) here is bit-identical to sqrt(agg) inline — only evaluated
+    once per row instead of once per pair."""
+    return df.withColumn(
+        out,
+        F.expr(
+            f"sqrt(aggregate(transform({vec_col}, "
+            "x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))"
+        ),
+    )
+
+
 def _cosine_top_k(pairs: DataFrame, k: int = 3) -> DataFrame:
-    """(query_id, qv, neighbor_id, nv) pairs -> per-query top-k by cosine
-    similarity, deterministic tie-break on neighbor_id."""
+    """(query_id, qv, qn, neighbor_id, nv, nn) pairs -> per-query top-k
+    by cosine similarity, deterministic tie-break on neighbor_id; qn/nn
+    are the sides' precomputed norms (_with_norm)."""
     scored = pairs.select(
-        "query_id", "neighbor_id", F.expr(_COSINE_EXPR).alias("sim")
+        "query_id",
+        "neighbor_id",
+        (F.expr(_DOT_EXPR) / (F.col("qn") * F.col("nn"))).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -1219,10 +1246,20 @@ def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-3 for the first 10 query vectors. The dot
     product runs JVM-side via higher-order functions (zip_with/aggregate)."""
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    q = _with_norm(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        "qv",
+        "qn",
     )
-    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    n = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+        ),
+        "nv",
+        "nn",
+    )
     # the query side is tiny -> broadcast; candidate side streams
     pairs = n.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1248,15 +1285,23 @@ def q_ann_ivf_label(spark, sf_dir):
     only within the query's bucket (the 100 TB scale path: a bucket join
     instead of a full cross join)."""
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("label").alias("qlabel"),
+    q = _with_norm(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        ),
+        "qv",
+        "qn",
     )
-    n = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("nv"),
-        F.col("label").alias("nlabel"),
+    n = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            F.col("label").alias("nlabel"),
+        ),
+        "nv",
+        "nn",
     )
     pairs = n.join(F.broadcast(q), F.col("nlabel") == F.col("qlabel")).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1317,11 +1362,19 @@ def _seed_centroids(emb: DataFrame, k: int = 8) -> list:
 
 
 def _bucket_topk(assigned: DataFrame, n_queries: int = 5) -> DataFrame:
-    q = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    q = _with_norm(
+        assigned.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        ),
+        "qv",
+        "qn",
     )
-    n = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket"
+    n = _with_norm(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket"
+        ),
+        "nv",
+        "nn",
     )
     pairs = n.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1894,11 +1947,24 @@ def embedding_neardup(
             F.when(F.col("n_label") <= label_cap, F.lit(0)).otherwise(sub).alias("sub"),
         )
         key = ["label", "sub"]
-    a = ok.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv"), *key)
-    b = ok.select(F.col("vec_id").alias("id_b"), F.col("v").alias("nv"), *key)
+    ok = _with_norm(ok, "v", "vn")
+    a = ok.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        *key,
+    )
+    b = ok.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("nv"),
+        F.col("vn").alias("nn"),
+        *key,
+    )
     pairs = a.join(b, key).filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a", "id_b", F.round(F.expr(_COSINE_EXPR), 4).alias("sim")
+        "id_a",
+        "id_b",
+        F.round(F.expr(_DOT_EXPR) / (F.col("qn") * F.col("nn")), 4).alias("sim"),
     )
     return scored.filter(F.col("sim") >= threshold)
 
@@ -1950,7 +2016,7 @@ def q_hash_split(spark, sf_dir):
         .when(bucket < 230, F.lit("val"))     # ~10%
         .otherwise(F.lit("test"))
     )
-    return _docs(spark, sf_dir).select("doc_id", split.alias("split"))
+    return _docs(spark, sf_dir, spread=False).select("doc_id", split.alias("split"))
 
 
 def q_hash_split_sql():
@@ -1972,7 +2038,7 @@ def q_normalize_text(spark, sf_dir):
             " ",
         )
     )
-    return _docs(spark, sf_dir).select("doc_id", norm.alias("norm_text"))
+    return _docs(spark, sf_dir, spread=False).select("doc_id", norm.alias("norm_text"))
 
 
 def q_normalize_text_sql():
@@ -2081,7 +2147,7 @@ def q_pack_chunks(spark, sf_dir):
     toks = F.size(
         F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
     ).cast("long")
-    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("n_tok"))
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id", toks.alias("n_tok"))
     return pack_chunks_df(docs).select("doc_id", "chunk_id")
 
 
@@ -3042,8 +3108,12 @@ def _connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
     node of the graph. See dedup_clusters for the scale argument."""
     # materialize the input once: round 1 references the edge plan from
     # four subtrees (sym union x agg + join), which would re-run an
-    # expensive upstream (e.g. the LSH band join) that many times
-    edges = edges.localCheckpoint()
+    # expensive upstream (e.g. the LSH band join) that many times.
+    # eager=False (r6): the RDD node is shared by all four subtrees, so
+    # the first round's checksum action both computes it once and
+    # materializes the checkpoint — an eager checkpoint here was one
+    # extra full job per call for no added reuse
+    edges = edges.localCheckpoint(eager=False)
 
     def star_mins(nbrs: DataFrame) -> DataFrame:
         return (
@@ -3082,8 +3152,11 @@ def _connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
             .union(pointed.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # the checksum collect is the round's ONE action: it materializes
+        # the lazy checkpoint and probes convergence in the same job
+        # (r6 — eager checkpointing doubled the per-round job count)
         cur = checksum(edges)
         if cur == prev:
             break
