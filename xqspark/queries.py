@@ -865,6 +865,19 @@ def minhash_sig_df(
         id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
     )
     docs = docs.filter(_nopush(F.size("t") >= 3))
+    if n_hashes >= 8:
+        # r6: at LSH slot counts the n_hashes separate
+        # array_min(transform(...)) passes dominate (each allocates a
+        # shingle-sized array per doc); the Arrow kernel computes all
+        # permutations as one vectorized matrix op — bit-identical
+        # signatures (same md5 digests, exact int64 math). The small-n
+        # JVM path below stays: one Python hop does not pay for 4 slots.
+        schema = f"{id_col} long, " + ", ".join(
+            f"mh{j + 1} long" for j in range(n_hashes)
+        )
+        return docs.select(id_col, "t").mapInArrow(
+            _minhash_kernel(n_hashes, id_col), schema
+        )
     sh = docs.select(
         id_col,
         F.expr(
@@ -1438,27 +1451,43 @@ def ivf_lloyd_centroids(
     data). Means are rounded to ``round_dp`` decimals so the DuckDB twin
     (same rule in SQL) lands on identical centroids; an emptied bucket
     keeps its previous centroid on both engines."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").alias("v")
+    # r6: the training loop runs iters+1 actions (seed + one per
+    # iteration) over the same scan+spread — persist it for the loop's
+    # lifetime and unpersist before returning, so no cache outlives the
+    # call (each bench run re-reads and re-trains from parquet)
+    emb = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.col("embedding").alias("v"))
+        .persist()
     )
-    cents = [[float(x) for x in cv] for cv in _seed_centroids(emb, k)]
-    for _ in range(iters):
-        assigned = _assign_buckets(emb, cents)
-        rows = (
-            assigned.select("bucket", F.posexplode("v").alias("pos", "x"))
-            .groupBy("bucket", "pos")
-            .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("m"))
-            .collect()
-        )
-        by_bucket: dict = {}
-        for r in rows:
-            by_bucket.setdefault(r["bucket"], {})[r["pos"]] = r["m"]
-        cents = [
-            [by_bucket[b][i] for i in range(len(cents[b]))]
-            if b in by_bucket
-            else cents[b]
-            for b in range(k)
-        ]
+    try:
+        cents = [[float(x) for x in cv] for cv in _seed_centroids(emb, k)]
+        dim = len(cents[0])
+        for _ in range(iters):
+            assigned = _assign_buckets(emb, cents)
+            # r6: per-dimension means as ``dim`` column aggregates over
+            # groupBy(bucket) — the old posexplode widened every vector
+            # 64x through a Generate just to key the mean by (bucket,
+            # pos); this shape aggregates the same values in the same
+            # per-partition row order without the row blowup
+            rows = (
+                assigned.groupBy("bucket")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(F.col("v")[i].cast("double")), round_dp
+                        ).alias(f"m{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            by_bucket = {
+                r["bucket"]: [r[f"m{i}"] for i in range(dim)] for r in rows
+            }
+            cents = [by_bucket.get(b, cents[b]) for b in range(k)]
+    finally:
+        emb.unpersist()
     return cents
 
 
@@ -1670,6 +1699,140 @@ def q_line_dedup_sql(k: int = 32, hot_cap: int = 256):
     )
 
 
+def _winnow_fps_kernel(k: int, w: int):
+    """mapInArrow kernel for the winnowing fingerprint stage: per doc,
+    md5 each k-gram (same bytes, same digest as the JVM md5()), take the
+    first 4 digest bytes big-endian (== conv(substring(hex,1,8),16,10)),
+    slide a w-window min, distinct. Python's md5 loop plus numpy's
+    sliding-window min replace 2 per-row HOF passes whose slice() calls
+    allocated per window (measured r6: winnow_fp 2.2 -> 0.9 s at
+    sf1.0). Exact: md5 is md5, the rest is int64 arithmetic."""
+
+    def gen(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pyarrow as pa
+
+        win = np.lib.stride_tricks.sliding_window_view
+        for b in batches:
+            ids = b.column(0)
+            rows = b.column(1).to_pylist()
+            out = []
+            for toks in rows:
+                grams = [
+                    " ".join(g)
+                    for g in zip(*(toks[j:] for j in range(k)))
+                ]
+                blob = b"".join(
+                    md5(g.encode("utf-8")).digest()[:4] for g in grams
+                )
+                h = np.frombuffer(blob, dtype=">u4").astype(np.int64)
+                out.append(np.unique(win(h, w).min(axis=1)).tolist())
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.list_(pa.int64()))],
+                ["doc_id", "fps"],
+            )
+
+    return gen
+
+
+def _simhash_kernel():
+    """mapInArrow kernel for the 64-bit SimHash signature: md5 per
+    token (identical digest to the JVM md5()), the four 16-bit words
+    are digest bytes 0..7 big-endian (== conv(substring(hex,...),16,10)),
+    per-doc bit votes via one reduceat over the batch's flat bit
+    matrix, majority = 2*count > n. Replaces the 4 aggregate() HOFs
+    whose merge lambda allocated a 16-counter array PER TOKEN (the r4
+    best-known JVM shape; measured r6: simhash 1.5 -> ~0.6 s at sf1.0).
+    All-integer math — bit-identical output."""
+
+    def gen(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(16, dtype=np.int64)
+        names = ["doc_id"] + [f"simhash_w{wd}" for wd in range(4)]
+        for b in batches:
+            ids = b.column(0)
+            rows = b.column(1).to_pylist()
+            if not rows:
+                continue
+            lens = np.fromiter(
+                (len(r) for r in rows), dtype=np.int64, count=len(rows)
+            )
+            blob = b"".join(
+                md5(tok.encode("utf-8")).digest()[:8]
+                for r in rows
+                for tok in r
+            )
+            words = np.frombuffer(blob, dtype=">u2").astype(np.int64)
+            bits = ((words[:, None] >> shifts) & 1).reshape(-1, 64)
+            starts = np.zeros(len(rows), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            counts = np.add.reduceat(bits, starts, axis=0)
+            maj = (2 * counts > lens[:, None]).astype(np.int64)
+            packed = (maj.reshape(-1, 4, 16) << shifts).sum(axis=2)
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(packed[:, wd]) for wd in range(4)], names
+            )
+
+    return gen
+
+
+def _minhash_kernel(n_hashes: int, id_col: str = "doc_id"):
+    """mapInArrow kernel for the MinHash signature at LSH-scale slot
+    counts (n_hashes >= 8): one md5 per 3-token shingle (identical
+    digest to the JVM md5()), then ALL Carter-Wegman permutations as
+    one (n_hashes, T) int64 broadcast expression + per-doc
+    minimum.reduceat — where the JVM shape paid n_hashes separate
+    array_min(transform(...)) passes, each allocating a shingle-sized
+    array per doc (the r4 best-known JVM layout; measured r6 at 16x4:
+    signature stage ~1.2 -> ~0.4 s at sf1.0). a*h+b stays inside int64
+    by construction (_mh_params: max < 2^63-1); % (2^31-1) on
+    non-negative operands == pmod. Bit-identical signatures."""
+    params = _mh_params(n_hashes)
+
+    def gen(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pyarrow as pa
+
+        A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+        names = [id_col] + [f"mh{j + 1}" for j in range(n_hashes)]
+        for b in batches:
+            ids = b.column(0)
+            rows = b.column(1).to_pylist()
+            if not rows:
+                continue
+            lens = np.empty(len(rows), dtype=np.int64)
+            blobs = []
+            for i, toks in enumerate(rows):
+                grams = [
+                    " ".join(g) for g in zip(toks, toks[1:], toks[2:])
+                ]
+                lens[i] = len(grams)
+                blobs.append(
+                    b"".join(
+                        md5(s.encode("utf-8")).digest()[:4] for s in grams
+                    )
+                )
+            h = np.frombuffer(b"".join(blobs), dtype=">u4").astype(np.int64)
+            perm = (A * h[None, :] + B) % _MERSENNE31
+            starts = np.zeros(len(rows), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            mins = np.minimum.reduceat(perm, starts, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(mins[j]) for j in range(n_hashes)], names
+            )
+
+    return gen
+
+
 def _winnow_fps(spark, sf_dir, k: int = 3, w: int = 4) -> DataFrame:
     """(doc_id, fps): the distinct winnowing fingerprint set per doc —
     map-only in-row HOFs; shared by winnow_fp and winnow_pairs."""
@@ -1678,24 +1841,18 @@ def _winnow_fps(spark, sf_dir, k: int = 3, w: int = 4) -> DataFrame:
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
         .withColumn("t", F.expr("filter(t, x -> x != '')"))
         .filter(_nopush(F.size("t") >= k + w - 1))
+        .select("doc_id", "t")
     )
-    grams = docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, size(t) - {k}), i -> "
-            "cast(conv(substring(md5(encode("
-            + "concat("
-            + ", ' ', ".join(f"t[i + {j}]" for j in range(k))
-            + ")"
-            + ", 'UTF-8')), 1, 8), 16, 10) as bigint))"
-        ).alias("h"),
-    )
-    return grams.select(
-        "doc_id",
-        F.expr(
-            f"array_distinct(transform(sequence(0, size(h) - {w}), "
-            f"j -> array_min(slice(h, j + 1, {w}))))"
-        ).alias("fps"),
+    # r6: the k-gram md5 + window minima moved from per-row JVM HOFs to
+    # a vectorized Arrow kernel (guide §4.2) — hashlib md5 produces the
+    # IDENTICAL digest the JVM md5() does and everything downstream is
+    # exact integer math, so the fingerprint SET per doc is unchanged
+    # (the kernel emits it sorted; every consumer is order-insensitive:
+    # size/min/xor aggregates and the exploded pair join). Tokenization
+    # stays JVM-side so split/trim semantics cannot drift. Still a
+    # map-only projection: no Exchange, no Generate.
+    return docs.mapInArrow(
+        _winnow_fps_kernel(k, w), "doc_id long, fps array<bigint>"
     )
 
 
@@ -2883,51 +3040,23 @@ def q_simhash(spark, sf_dir):
     (('0x'||substr(md5,..))::INT), giving this op a hard oracle.
     Repeated tokens vote repeatedly (frequency weighting); docs whose
     trimmed text has no tokens drop out on both sides."""
-    # In-row (r4): tokens stay an array, the per-doc bit-vote sums are
-    # aggregate() higher-order calls over it — the whole op is a MAP-ONLY
-    # projection (no explode, no groupBy(doc_id) shuffle of the widened
-    # token stream). At 100 TB simhash costs one pass over the text.
-    # Vote sums stay plain bit sums: the +1/-1 total is positive iff
-    # 2*sum(bit) > n_tokens.
+    # r6: the per-token md5 + bit votes moved to a vectorized Arrow
+    # kernel (guide §4.2) — the r4 JVM shape (one aggregate per word,
+    # 16-counter array accumulator) allocated one array per token per
+    # word; the kernel does one md5 loop + one reduceat per batch.
+    # Tokenization stays JVM-side; output is bit-identical (all-integer
+    # math, same digests). Still map-only: no Exchange, no Generate.
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
         .withColumn("t", F.expr("filter(t, x -> x != '')"))
         .filter(_nopush(F.size("t") >= 1))
+        .select("doc_id", "t")
     )
-    hashed = docs.select(
-        "doc_id",
-        F.size("t").alias("n"),
-        F.expr("transform(t, tok -> md5(encode(tok, 'UTF-8')))").alias("hs"),
-    )
-    words = hashed.select(
-        "doc_id",
-        "n",
-        *[
-            F.expr(
-                f"transform(hs, m -> cast(conv(substring(m, {1 + 4 * w}, 4), 16, 10) as int))"
-            ).alias(f"ws{w}")
-            for w in range(4)
-        ],
-    )
-    # one aggregate per word with a 16-counter ARRAY accumulator; the
-    # merge uses transform's (element, index) lambda — ONE allocation per
-    # token (measured: the sequence+zip_with merge shape allocates 3x and
-    # ran 57% slower; 16 separate per-bit aggregate passes re-traverse
-    # the array and ran 70% slower) — and the finish lambda packs the
-    # majority bits into the word right inside the same expression
-    agg = lambda w: (  # noqa: E731
-        f"aggregate(ws{w}, array_repeat(0L, 16), "
-        f"(acc, x) -> transform(acc, (a, b) -> a + (shiftright(x, b) & 1)), "
-        f"acc -> aggregate(sequence(0, 15), 0L, "
-        f"(wv, b) -> wv + if(2 * element_at(acc, b + 1) > n, shiftleft(1L, b), 0L)))"
-    )
-    return words.select(
-        "doc_id",
-        *[
-            F.expr(agg(w)).cast("long").alias(f"simhash_w{w}")
-            for w in range(4)
-        ],
+    return docs.mapInArrow(
+        _simhash_kernel(),
+        "doc_id long, simhash_w0 long, simhash_w1 long, "
+        "simhash_w2 long, simhash_w3 long",
     )
 
 
