@@ -142,3 +142,64 @@ def test_kernel_paths_stay_map_only(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert data_exchanges(plan) == 0, plan[:1500]
         assert "Generate" not in plan, plan[:1500]
+
+
+def test_ivf_assign_kernel_matches_jvm_hof_argmax(spark):
+    """The IVF assignment kernel (r6: broadcast-closure centroids,
+    sequential-fold dots, first-max tie-break) must reproduce the old
+    plan-literal JVM shape bucket-for-bucket, and the driver-side query
+    branch of _bucket_topk must agree with both."""
+    from xqspark.queries import _assign_buckets, _emb, _seed_centroids
+
+    emb = _emb(spark, SF_DIR, spread=False).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = [[float(x) for x in cv] for cv in _seed_centroids(emb, 8)]
+    # the r5 JVM expression, verbatim
+    cents_col = F.array(*[F.array(*[F.lit(x) for x in cv]) for cv in cents])
+    dots = (
+        "transform(_cents, c -> aggregate(zip_with(v, c, "
+        "(x, y) -> cast(x as double) * y), 0D, (acc, q) -> acc + q))"
+    )
+    jvm = (
+        emb.withColumn("_cents", cents_col)
+        .withColumn("_dots", F.expr(dots))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "cast(array_position(_dots, array_max(_dots)) - 1 as bigint)"
+            ),
+        )
+        .select("vec_id", "bucket")
+    )
+    old = {r["vec_id"]: r["bucket"] for r in jvm.collect()}
+    new = {
+        r["vec_id"]: r["bucket"]
+        for r in _assign_buckets(emb, cents).select("vec_id", "bucket").collect()
+    }
+    assert old == new and len(old) == 500
+    # driver-side fold (the _bucket_topk query branch) agrees too
+    for r in emb.filter(F.col("vec_id") < 5).collect():
+        v = [float(x) for x in r["v"]]
+        ds = []
+        for c in cents:
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc += x * y
+            ds.append(acc)
+        assert ds.index(max(ds)) == old[r["vec_id"]]
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """_round_half_up (driver-side centroid rounding) must equal
+    F.round on doubles, including exact .5-at-6dp boundaries where
+    Python's builtin banker's round would diverge."""
+    from xqspark.queries import _round_half_up
+
+    vals = [0.1234565, 0.1234575, -0.1234565, 1.9999995, 0.33333333333,
+            -2.7182818, 123.45678949999, 5e-07, -5e-07, 0.0]
+    rows = spark.createDataFrame(
+        [(v,) for v in vals], "x double"
+    ).select(F.round("x", 6).alias("r")).collect()
+    for v, r in zip(vals, rows):
+        assert _round_half_up(v, 6) == r["r"], v

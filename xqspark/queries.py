@@ -88,8 +88,14 @@ def _docs(
     return _spread(df) if spread else df
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """``spread=False`` serves consumers whose per-row work is a
+    vectorized Arrow kernel or a bounded collect (IVF training/seed):
+    there the spread exchange only adds 64 near-empty tasks per job at
+    bench scale, while the JVM per-pair cosine of the search join still
+    wants the parallelism (spread=True)."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(df) if spread else df
 
 
 def _page_html(doc_col="text", title_col="source"):
@@ -1336,30 +1342,72 @@ def q_ann_ivf_label_sql():
     )
 
 
-def _assign_buckets(emb: DataFrame, cents: list) -> DataFrame:
-    """Map-side IVF assignment: the K centroids ride the plan as an
-    array-of-arrays LITERAL, so every vector computes its argmax-dot
-    bucket inside the scan's projection — no join, no explode-style row
-    blowup, no Exchange before the bucket search join (the VERDICT r2
-    fix: the old broadcast-cross-join + groupBy(vec_id) shuffled the full
-    8x-widened embedding table just to take an argmax). Ties break to the
-    SMALLEST centroid id (array_position finds the first max), which the
+def _dots_seq(V, C):
+    """(n, dim) x (k, dim) -> (n, k) dot products accumulated dimension
+    by dimension, LEFT TO RIGHT — the exact fold order of the JVM
+    ``aggregate(zip_with(v, c, (x, y) -> x * y), 0D, (acc, q) -> acc + q)``
+    this kernel replaced, so every double is bit-identical to what the
+    old plan-literal projection produced (and to the DuckDB oracle's
+    sequential list_dot_product)."""
+    import numpy as np
+
+    acc = V[:, 0, None] * C[None, :, 0]
+    for d in range(1, V.shape[1]):
+        acc = acc + V[:, d, None] * C[None, :, d]
+    return acc
+
+
+def _assign_kernel(cents: list):
+    """mapInArrow kernel for the IVF argmax-dot assignment: centroids
+    travel in the task closure (broadcast-style, NOT plan literals —
+    VERDICT r5 #3: a nlist=4096 quantizer must not live in the plan
+    string), dots use the sequential fold above, and ``np.argmax`` takes
+    the FIRST maximum — the same smallest-cid tie-break the old
+    ``array_position(_dots, array_max(_dots))`` projection had and the
     DuckDB oracles mirror with row_number(ORDER BY d DESC, cid ASC)."""
-    cents_col = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cv]) for cv in cents]
-    )
-    dots = (
-        "transform(_cents, c -> aggregate(zip_with(v, c, "
-        "(x, y) -> cast(x as double) * y), 0D, (acc, q) -> acc + q))"
-    )
-    return (
-        emb.withColumn("_cents", cents_col)
-        .withColumn("_dots", F.expr(dots))
-        .withColumn(
-            "bucket",
-            F.expr("cast(array_position(_dots, array_max(_dots)) - 1 as bigint)"),
-        )
-        .drop("_cents", "_dots")
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cents, dtype=np.float64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            # fixed-dim vectors: flatten() respects slice offsets, so the
+            # reshape is a zero-copy view of the Arrow values buffer
+            V = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(b.num_rows, -1)
+            )
+            bucket = np.argmax(_dots_seq(V, C), axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), pa.array(bucket)],
+                ["vec_id", "v", "bucket"],
+            )
+
+    return gen
+
+
+def _assign_buckets(emb: DataFrame, cents: list) -> DataFrame:
+    """Map-side IVF assignment (r6: Arrow kernel): every vector computes
+    its argmax-dot bucket inside a map-only MapInArrow projection — no
+    join, no explode-style row blowup, no Exchange before the bucket
+    search join (the VERDICT r2 fix kept: the old broadcast-cross-join +
+    groupBy(vec_id) shuffled the full 8x-widened embedding table just to
+    take an argmax). The kernel replaces K per-row zip_with+aggregate
+    HOF passes (each allocating a dim-sized array per row per centroid)
+    with one vectorized matmul-shaped pass; dots and tie-breaks are
+    bit-identical (see _dots_seq/_assign_kernel)."""
+    # v passes through untouched as float32 (the parquet element type),
+    # exactly as the old projection left it; widening to double happens
+    # downstream in _with_norm / the cosine, unchanged
+    return emb.select("vec_id", "v").mapInArrow(
+        _assign_kernel(cents),
+        "vec_id bigint, v array<float>, bucket bigint",
     )
 
 
@@ -1374,16 +1422,42 @@ def _seed_centroids(emb: DataFrame, k: int = 8) -> list:
     ]
 
 
-def _bucket_topk(assigned: DataFrame, n_queries: int = 5) -> DataFrame:
-    q = _with_norm(
-        assigned.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
-        ),
-        "qv",
-        "qn",
+def _bucket_topk(emb: DataFrame, cents: list, n_queries: int = 5) -> DataFrame:
+    """Bucketed top-k search: assignment runs SEPARATELY per join branch
+    so the tiny query branch keeps its pushed ``vec_id < n_queries`` scan
+    filter below the (opaque-to-Catalyst) assignment kernel — with one
+    shared assignment the filter could not reach the scan and the query
+    branch would pay a full pass at 100 TB. Per-row assignment is
+    branch-independent, so buckets are identical either way."""
+    import math
+
+    # The query side is BOUNDED (n_queries rows) — fetch it to the
+    # driver like the seed centroids and assign/norm it in plain Python
+    # with the exact same sequential fold the kernel and the old JVM
+    # HOFs use (left-to-right float64 adds, first-max tie-break), so the
+    # buckets, norms and downstream sims are bit-identical. This keeps
+    # the tiny branch off the scan+kernel path entirely: one pushed
+    # vec_id filter scan instead of a second full-table Arrow stage.
+    qrows = emb.filter(F.col("vec_id") < n_queries).select("vec_id", "v").collect()
+    out = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        v = [float(x) for x in r["v"]]
+        dots = []
+        for c in cents:
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc += x * y
+            dots.append(acc)
+        bucket = dots.index(max(dots))
+        s = 0.0
+        for x in v:
+            s += x * x
+        out.append((int(r["vec_id"]), v, bucket, math.sqrt(s)))
+    q = emb.sparkSession.createDataFrame(
+        out, "query_id bigint, qv array<double>, bucket bigint, qn double"
     )
     n = _with_norm(
-        assigned.select(
+        _assign_buckets(emb, cents).select(
             F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket"
         ),
         "nv",
@@ -1405,10 +1479,16 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     the scan, search is a bucket equi-join with the tiny query side
     broadcast. Plan-asserted in test_plans.py: no Exchange and no
     Generate between the scan and the bucket join."""
+    cents = _seed_centroids(
+        _emb(spark, sf_dir, spread=False).select(
+            "vec_id", F.col("embedding").alias("v")
+        ),
+        8,
+    )
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("v")
     )
-    return _bucket_topk(_assign_buckets(emb, _seed_centroids(emb, 8)))
+    return _bucket_topk(emb, cents)
 
 
 _IVF_ASSIGN_SQL = (
@@ -1439,6 +1519,61 @@ def q_ann_ivf_kmeans_sql():
     )
 
 
+def _round_half_up(x: float, dp: int) -> float:
+    """Spark's F.round on a double: shortest-roundtrip decimal repr,
+    scale to ``dp`` with HALF_UP (Python's built-in round is banker's —
+    wrong on exact .5 boundaries). Both engines' 6dp centroid rounding
+    already absorbs sub-1e-9 cross-engine summation noise; this keeps
+    the Spark-side rule exactly what F.round(avg(...), 6) applied."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _train_partials_kernel(cents: list):
+    """Fused Lloyd training iteration kernel: argmax-dot assignment
+    (same fold order / tie-break as _assign_kernel) plus per-bucket
+    (count, per-dimension sum) partials — k*(dim+2) numbers per batch
+    instead of a wide shuffle+aggregate. The driver merges partials and
+    rounds means to 6dp; cross-partition merge order was already
+    arbitrary under the old avg() aggregate, and both engines round to
+    6dp precisely so that noise cannot reach the stored centroid."""
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cents, dtype=np.float64)
+        k = C.shape[0]
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            V = (
+                b.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(b.num_rows, -1)
+            )
+            bucket = np.argmax(_dots_seq(V, C), axis=1)
+            cnt = np.bincount(bucket, minlength=k)
+            S = np.zeros_like(C)
+            np.add.at(S, bucket, V)
+            nz = np.flatnonzero(cnt)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(nz.astype(np.int64)),
+                    pa.array(cnt[nz].astype(np.int64)),
+                    pa.array([S[i].tolist() for i in nz],
+                             type=pa.list_(pa.float64())),
+                ],
+                ["bucket", "cnt", "s"],
+            )
+
+    return gen
+
+
 def ivf_lloyd_centroids(
     spark, sf_dir, k: int = 8, iters: int = 2, round_dp: int = 6
 ) -> list:
@@ -1456,7 +1591,7 @@ def ivf_lloyd_centroids(
     # lifetime and unpersist before returning, so no cache outlives the
     # call (each bench run re-reads and re-trains from parquet)
     emb = (
-        _emb(spark, sf_dir)
+        _emb(spark, sf_dir, spread=False)
         .select("vec_id", F.col("embedding").alias("v"))
         .persist()
     )
@@ -1464,26 +1599,26 @@ def ivf_lloyd_centroids(
         cents = [[float(x) for x in cv] for cv in _seed_centroids(emb, k)]
         dim = len(cents[0])
         for _ in range(iters):
-            assigned = _assign_buckets(emb, cents)
-            # r6: per-dimension means as ``dim`` column aggregates over
-            # groupBy(bucket) — the old posexplode widened every vector
-            # 64x through a Generate just to key the mean by (bucket,
-            # pos); this shape aggregates the same values in the same
-            # per-partition row order without the row blowup
-            rows = (
-                assigned.groupBy("bucket")
-                .agg(
-                    *[
-                        F.round(
-                            F.avg(F.col("v")[i].cast("double")), round_dp
-                        ).alias(f"m{i}")
-                        for i in range(dim)
-                    ]
+            # r6 second pass: assignment + per-bucket partial sums FUSED
+            # in one Arrow kernel — one job per iteration collecting only
+            # k*(dim+2) partials per task (training state, not data). The
+            # earlier 64-column groupBy(bucket) aggregate spent ~0.9 s
+            # PER ITERATION in wide-codegen + exchange overhead at any
+            # sf; the kernel iteration is a single map-only pass.
+            rows = emb.mapInArrow(
+                _train_partials_kernel(cents),
+                "bucket bigint, cnt bigint, s array<double>",
+            ).collect()
+            agg: dict[int, tuple[int, list]] = {}
+            for r in rows:
+                c0, s0 = agg.get(r["bucket"], (0, [0.0] * dim))
+                agg[r["bucket"]] = (
+                    c0 + r["cnt"],
+                    [a + b for a, b in zip(s0, r["s"])],
                 )
-                .collect()
-            )
             by_bucket = {
-                r["bucket"]: [r[f"m{i}"] for i in range(dim)] for r in rows
+                b: [_round_half_up(s_i / c, round_dp) for s_i in s]
+                for b, (c, s) in agg.items()
             }
             cents = [by_bucket.get(b, cents[b]) for b in range(k)]
     finally:
@@ -1502,7 +1637,7 @@ def q_ann_ivf_lloyd(spark, sf_dir):
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("v")
     )
-    return _bucket_topk(_assign_buckets(emb, cents))
+    return _bucket_topk(emb, cents)
 
 
 def _lloyd_step_sql(prev: str, out: str, assign: str) -> str:
