@@ -875,13 +875,17 @@ def minhash_sig_df(
         # r6: at LSH slot counts the n_hashes separate
         # array_min(transform(...)) passes dominate (each allocates a
         # shingle-sized array per doc); the Arrow kernel computes all
-        # permutations as one vectorized matrix op — bit-identical
-        # signatures (same md5 digests, exact int64 math). The small-n
-        # JVM path below stays: one Python hop does not pay for 4 slots.
+        # permutations as one vectorized matrix op over the
+        # JVM-computed base hashes — bit-identical signatures (same md5
+        # digests, exact int64 math). The small-n JVM path below stays:
+        # one Python hop does not pay for 4 slots.
+        hashed = docs.select(
+            id_col, F.expr(_gram_hash_expr(3)).alias("h")
+        )
         schema = f"{id_col} long, " + ", ".join(
             f"mh{j + 1} long" for j in range(n_hashes)
         )
-        return docs.select(id_col, "t").mapInArrow(
+        return hashed.mapInArrow(
             _minhash_kernel(n_hashes, id_col), schema
         )
     sh = docs.select(
@@ -1834,38 +1838,49 @@ def q_line_dedup_sql(k: int = 32, hot_cap: int = 256):
     )
 
 
-def _winnow_fps_kernel(k: int, w: int):
-    """mapInArrow kernel for the winnowing fingerprint stage: per doc,
-    md5 each k-gram (same bytes, same digest as the JVM md5()), take the
-    first 4 digest bytes big-endian (== conv(substring(hex,1,8),16,10)),
-    slide a w-window min, distinct. Python's md5 loop plus numpy's
-    sliding-window min replace 2 per-row HOF passes whose slice() calls
-    allocated per window (measured r6: winnow_fp 2.2 -> 0.9 s at
-    sf1.0). Exact: md5 is md5, the rest is int64 arithmetic."""
+def _gram_hash_expr(k: int) -> str:
+    """JVM expression: token array ``t`` -> int array of k-gram base
+    hashes (one md5 per gram, first 4 digest bytes big-endian ==
+    conv(substring(hex,1,8),16,10)) — the shared front half of the
+    winnow/minhash kernels, kept in codegen where the byte/digest
+    semantics cannot drift from the oracle's."""
+    gram = "concat(" + ", ' ', ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(k)
+    ) + ")"
+    return (
+        f"transform(transform(sequence(0, size(t)-{k}), i -> {gram}), "
+        "s -> cast(conv(substring(md5(encode(s, 'UTF-8')), 1, 8), 16, 10) "
+        "as bigint))"
+    )
+
+
+def _winnow_fps_kernel(w: int):
+    """mapInArrow kernel for the winnowing fingerprint selection: the
+    input column is the JVM-computed k-gram base hash array
+    (_gram_hash_expr — md5 and gram bytes stay in codegen); the kernel
+    is numpy's sliding-window min + unique, replacing the JVM HOF pass
+    whose slice() calls allocated per window AND the earlier
+    all-Python md5 loop (r6 second pass, measured at 10x sf0.1:
+    winnow_fp 1.6 -> 1.3 s). Exact: int64 arithmetic only."""
 
     def gen(batches):
-        from hashlib import md5
-
         import numpy as np
         import pyarrow as pa
 
         win = np.lib.stride_tricks.sliding_window_view
         for b in batches:
-            ids = b.column(0)
-            rows = b.column(1).to_pylist()
+            if b.num_rows == 0:
+                continue
+            harr = b.column(1)
+            offs = harr.offsets.to_numpy(zero_copy_only=False)
+            flat = harr.flatten().to_numpy(zero_copy_only=False)
+            base = offs[0]
             out = []
-            for toks in rows:
-                grams = [
-                    " ".join(g)
-                    for g in zip(*(toks[j:] for j in range(k)))
-                ]
-                blob = b"".join(
-                    md5(g.encode("utf-8")).digest()[:4] for g in grams
-                )
-                h = np.frombuffer(blob, dtype=">u4").astype(np.int64)
+            for i in range(b.num_rows):
+                h = flat[offs[i] - base:offs[i + 1] - base]
                 out.append(np.unique(win(h, w).min(axis=1)).tolist())
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(out, type=pa.list_(pa.int64()))],
+                [b.column(0), pa.array(out, type=pa.list_(pa.int64()))],
                 ["doc_id", "fps"],
             )
 
@@ -1873,45 +1888,43 @@ def _winnow_fps_kernel(k: int, w: int):
 
 
 def _simhash_kernel():
-    """mapInArrow kernel for the 64-bit SimHash signature: md5 per
-    token (identical digest to the JVM md5()), the four 16-bit words
-    are digest bytes 0..7 big-endian (== conv(substring(hex,...),16,10)),
-    per-doc bit votes via one reduceat over the batch's flat bit
-    matrix, majority = 2*count > n. Replaces the 4 aggregate() HOFs
-    whose merge lambda allocated a 16-counter array PER TOKEN (the r4
-    best-known JVM shape; measured r6: simhash 1.5 -> ~0.6 s at sf1.0).
+    """mapInArrow kernel for the 64-bit SimHash bit votes: the input is
+    the four JVM-computed per-token 16-bit word arrays (digest bytes
+    0..7 big-endian == conv(substring(hex,...),16,10); md5 stays in
+    codegen, where it measured as fast as a Python hashlib loop and the
+    digest semantics cannot drift), per-doc votes via one reduceat over
+    each word's flat bit matrix, majority = 2*count > n. Replaces the 4
+    aggregate() HOFs whose merge lambda allocated a 16-counter array
+    PER TOKEN (r4's best JVM shape), and r6's first-pass all-Python
+    kernel whose md5 loop was its cost (1.8 -> 1.5 s at 10x sf0.1).
     All-integer math — bit-identical output."""
 
     def gen(batches):
-        from hashlib import md5
-
         import numpy as np
         import pyarrow as pa
 
         shifts = np.arange(16, dtype=np.int64)
         names = ["doc_id"] + [f"simhash_w{wd}" for wd in range(4)]
         for b in batches:
-            ids = b.column(0)
-            rows = b.column(1).to_pylist()
-            if not rows:
+            if b.num_rows == 0:
                 continue
-            lens = np.fromiter(
-                (len(r) for r in rows), dtype=np.int64, count=len(rows)
-            )
-            blob = b"".join(
-                md5(tok.encode("utf-8")).digest()[:8]
-                for r in rows
-                for tok in r
-            )
-            words = np.frombuffer(blob, dtype=">u2").astype(np.int64)
-            bits = ((words[:, None] >> shifts) & 1).reshape(-1, 64)
-            starts = np.zeros(len(rows), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            counts = np.add.reduceat(bits, starts, axis=0)
-            maj = (2 * counts > lens[:, None]).astype(np.int64)
-            packed = (maj.reshape(-1, 4, 16) << shifts).sum(axis=2)
+            offs = b.column(1).offsets.to_numpy(zero_copy_only=False)
+            starts = offs[:-1] - offs[0]
+            lens = np.diff(offs)
+            cols = []
+            for wd in range(4):
+                flat = (
+                    b.column(1 + wd)
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                bits = (flat[:, None] >> shifts) & 1
+                counts = np.add.reduceat(bits, starts, axis=0)
+                maj = (2 * counts > lens[:, None]).astype(np.int64)
+                cols.append((maj << shifts).sum(axis=1))
             yield pa.RecordBatch.from_arrays(
-                [ids] + [pa.array(packed[:, wd]) for wd in range(4)], names
+                [b.column(0)] + [pa.array(c) for c in cols], names
             )
 
     return gen
@@ -1919,20 +1932,22 @@ def _simhash_kernel():
 
 def _minhash_kernel(n_hashes: int, id_col: str = "doc_id"):
     """mapInArrow kernel for the MinHash signature at LSH-scale slot
-    counts (n_hashes >= 8): one md5 per 3-token shingle (identical
-    digest to the JVM md5()), then ALL Carter-Wegman permutations as
-    one (n_hashes, T) int64 broadcast expression + per-doc
-    minimum.reduceat — where the JVM shape paid n_hashes separate
-    array_min(transform(...)) passes, each allocating a shingle-sized
-    array per doc (the r4 best-known JVM layout; measured r6 at 16x4:
-    signature stage ~1.2 -> ~0.4 s at sf1.0). a*h+b stays inside int64
-    by construction (_mh_params: max < 2^63-1); % (2^31-1) on
-    non-negative operands == pmod. Bit-identical signatures."""
+    counts (n_hashes >= 8): the input column is the JVM-computed base
+    hash array (one md5 per 3-token shingle — shingling and digesting
+    stay in codegen, where they measured as fast as a Python hashlib
+    loop and the bytes/digest semantics cannot drift), then ALL
+    Carter-Wegman permutations as one (n_hashes, T) int64 broadcast
+    expression + per-doc minimum.reduceat — where the JVM shape paid
+    n_hashes separate array_min(transform(...)) passes, each allocating
+    a shingle-sized array per doc (the r4 best-known JVM layout).
+    Measured r6 at 10x sf0.1: 64-slot signature stage ~1.6 -> ~1.3 s vs
+    the all-Python kernel (the md5 loop was the Python-side cost; the
+    int64 matrix was never it). a*h+b stays inside int64 by
+    construction (_mh_params: max < 2^63-1); % (2^31-1) on non-negative
+    operands == pmod. Bit-identical signatures."""
     params = _mh_params(n_hashes)
 
     def gen(batches):
-        from hashlib import md5
-
         import numpy as np
         import pyarrow as pa
 
@@ -1940,29 +1955,17 @@ def _minhash_kernel(n_hashes: int, id_col: str = "doc_id"):
         B = np.array([b for _, b in params], dtype=np.int64)[:, None]
         names = [id_col] + [f"mh{j + 1}" for j in range(n_hashes)]
         for b in batches:
-            ids = b.column(0)
-            rows = b.column(1).to_pylist()
-            if not rows:
+            if b.num_rows == 0:
                 continue
-            lens = np.empty(len(rows), dtype=np.int64)
-            blobs = []
-            for i, toks in enumerate(rows):
-                grams = [
-                    " ".join(g) for g in zip(toks, toks[1:], toks[2:])
-                ]
-                lens[i] = len(grams)
-                blobs.append(
-                    b"".join(
-                        md5(s.encode("utf-8")).digest()[:4] for s in grams
-                    )
-                )
-            h = np.frombuffer(b"".join(blobs), dtype=">u4").astype(np.int64)
-            perm = (A * h[None, :] + B) % _MERSENNE31
-            starts = np.zeros(len(rows), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
+            harr = b.column(1)
+            flat = harr.flatten().to_numpy(zero_copy_only=False)
+            offs = harr.offsets.to_numpy(zero_copy_only=False)
+            starts = offs[:-1] - offs[0]
+            perm = (A * flat[None, :] + B) % _MERSENNE31
             mins = np.minimum.reduceat(perm, starts, axis=1)
             yield pa.RecordBatch.from_arrays(
-                [ids] + [pa.array(mins[j]) for j in range(n_hashes)], names
+                [b.column(0)] + [pa.array(mins[j]) for j in range(n_hashes)],
+                names,
             )
 
     return gen
@@ -1978,16 +1981,19 @@ def _winnow_fps(spark, sf_dir, k: int = 3, w: int = 4) -> DataFrame:
         .filter(_nopush(F.size("t") >= k + w - 1))
         .select("doc_id", "t")
     )
-    # r6: the k-gram md5 + window minima moved from per-row JVM HOFs to
-    # a vectorized Arrow kernel (guide §4.2) — hashlib md5 produces the
-    # IDENTICAL digest the JVM md5() does and everything downstream is
-    # exact integer math, so the fingerprint SET per doc is unchanged
-    # (the kernel emits it sorted; every consumer is order-insensitive:
-    # size/min/xor aggregates and the exploded pair join). Tokenization
-    # stays JVM-side so split/trim semantics cannot drift. Still a
-    # map-only projection: no Exchange, no Generate.
-    return docs.mapInArrow(
-        _winnow_fps_kernel(k, w), "doc_id long, fps array<bigint>"
+    # r6: the window minima moved from per-row JVM HOFs to a vectorized
+    # Arrow kernel (guide §4.2); gram construction + md5 stay JVM-side
+    # (_gram_hash_expr) so tokenization and digest semantics cannot
+    # drift. Everything downstream is exact integer math, so the
+    # fingerprint SET per doc is unchanged (the kernel emits it sorted;
+    # every consumer is order-insensitive: size/min/xor aggregates and
+    # the exploded pair join). Still a map-only projection: no
+    # Exchange, no Generate.
+    hashed = docs.select(
+        "doc_id", F.expr(_gram_hash_expr(k)).alias("h")
+    )
+    return hashed.mapInArrow(
+        _winnow_fps_kernel(w), "doc_id long, fps array<bigint>"
     )
 
 
@@ -3175,12 +3181,14 @@ def q_simhash(spark, sf_dir):
     (('0x'||substr(md5,..))::INT), giving this op a hard oracle.
     Repeated tokens vote repeatedly (frequency weighting); docs whose
     trimmed text has no tokens drop out on both sides."""
-    # r6: the per-token md5 + bit votes moved to a vectorized Arrow
-    # kernel (guide §4.2) — the r4 JVM shape (one aggregate per word,
-    # 16-counter array accumulator) allocated one array per token per
-    # word; the kernel does one md5 loop + one reduceat per batch.
-    # Tokenization stays JVM-side; output is bit-identical (all-integer
-    # math, same digests). Still map-only: no Exchange, no Generate.
+    # r6: the bit votes moved to a vectorized Arrow kernel (guide §4.2)
+    # — the r4 JVM shape (one aggregate per word, 16-counter array
+    # accumulator) allocated one array per token per word; the kernel
+    # does one reduceat per word per batch. Tokenization AND the
+    # per-token md5 stay JVM-side (one md5 per token; the four word
+    # parses share the digest array via codegen CSE); output is
+    # bit-identical (all-integer math, same digests). Still map-only:
+    # no Exchange, no Generate.
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
@@ -3188,7 +3196,17 @@ def q_simhash(spark, sf_dir):
         .filter(_nopush(F.size("t") >= 1))
         .select("doc_id", "t")
     )
-    return docs.mapInArrow(
+    words = docs.select(
+        "doc_id",
+        *[
+            F.expr(
+                "transform(transform(t, tok -> md5(encode(tok, 'UTF-8'))), "
+                f"s -> cast(conv(substring(s, {1 + 4 * w}, 4), 16, 10) as int))"
+            ).alias(f"w{w}")
+            for w in range(4)
+        ],
+    )
+    return words.mapInArrow(
         _simhash_kernel(),
         "doc_id long, simhash_w0 long, simhash_w1 long, "
         "simhash_w2 long, simhash_w3 long",
@@ -3514,8 +3532,11 @@ def q_unigram_logprob(spark, sf_dir, vocab_k: int = 256):
     # scoring pass (r6): the vocabulary ships as a broadcast dict into
     # an Arrow-vectorized UDF — O(1) hash lookups per token, where the
     # old map(...) SQL literal was an O(vocab_k) LINEAR probe per token
-    # (Catalyst's GetMapValue scans ArrayBasedMapData; measured ~1.3 s
-    # of the 3.5 s at sf1.0). Per-token scores stay exact integer
+    # (Catalyst's GetMapValue scans ArrayBasedMapData). An
+    # explode + broadcast-join + groupBy(doc_id) scorer was also
+    # measured and LOSES at scale (1.8 s vs 1.15 s at 10x sf0.1): the
+    # 15M-row explode costs more than shipping the token arrays across
+    # the Python boundary once. Per-token scores stay exact integer
     # micro-log units, so the Python sum is bit-identical to the old
     # in-row aggregate; the only float ops (one division, one round)
     # stay JVM-side, unchanged. This is also the line_dedup
