@@ -82,3 +82,24 @@ def test_repeated_ua_groups_combine():
     assert r.is_allowed("xqbot", "/c/x") is True  # '*' not combined w/ exact
     assert r.is_allowed("other", "/c/x") is False
     assert r.is_allowed("other", "/d/x") is False  # both '*' groups combine
+
+
+def test_non_rule_lines_do_not_split_ua_run():
+    """Advisor r5: Sitemap/Crawl-delay/unknown directives between two
+    User-agent lines are ignorable — the UA run stays combined, so
+    agent a still gets the Disallow below agent b."""
+    r = parse_robots(
+        "User-agent: a\nSitemap: https://e.example/s.xml\n"
+        "User-agent: b\nDisallow: /x\n"
+    )
+    assert r.is_allowed("a", "/x/y") is False
+    assert r.is_allowed("b", "/x/y") is False
+    # but Allow/Disallow still END the run: a later User-agent line
+    # after rules starts a NEW group
+    r = parse_robots(
+        "User-agent: a\nDisallow: /x\nCrawl-delay: 5\n"
+        "User-agent: b\nDisallow: /y\n"
+    )
+    assert r.is_allowed("a", "/y/z") is True  # b's group, not a's
+    assert r.is_allowed("b", "/y/z") is False
+    assert r.is_allowed("b", "/x/z") is True

@@ -92,6 +92,10 @@ def parse_robots(text: str) -> RobotsRules:
                 else (key == "allow", "", None)
             )
         else:
-            # crawl-delay, sitemap, unknown directives: not rules
-            in_agent_run = False
+            # crawl-delay, sitemap, unknown directives: not rules, and
+            # per RFC 9309 / the reference REP parsers they are
+            # IGNORABLE inside a User-agent run — 'User-agent: a /
+            # Sitemap: s / User-agent: b' keeps a and b in ONE group
+            # (only Allow/Disallow end a run; r6 advisor fix)
+            pass
     return RobotsRules(groups)

@@ -726,13 +726,14 @@ def q_events_hourly_sql():
 
 
 def q_token_stats(spark, sf_dir):
+    # r6: regexp_count instead of size(regexp_extract_all) — same
+    # non-overlapping match count without materializing the match
+    # arrays (~15% at 10x sf0.1, zero diff rows on the full corpus)
     text = F.trim(F.col("text"))
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0)))
-        .cast("long")
-        .alias("ws_tokens"),
-        F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|\S"), F.lit(0)))
+        F.regexp_count(text, F.lit(r"\S+")).cast("long").alias("ws_tokens"),
+        F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|\S"))
         .cast("long")
         .alias("bpe_tokens"),
     )
@@ -747,13 +748,13 @@ def q_token_stats_sql():
 
 
 def q_quality_score(spark, sf_dir):
+    # r6: regexp_count — same non-overlapping match counts as
+    # size(regexp_extract_all) without materializing the match arrays
     text = F.col("text")
-    alpha = F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), F.lit(0)))
-    spaces = F.size(F.regexp_extract_all(text, F.lit(" "), F.lit(0)))
-    stops = F.size(
-        F.regexp_extract_all(text, F.lit(r"\b(the|a|of|and|to)\b"), F.lit(0))
-    )
-    toks = F.size(F.regexp_extract_all(F.trim(text), F.lit(r"\S+"), F.lit(0)))
+    alpha = F.regexp_count(text, F.lit("[A-Za-z]"))
+    spaces = F.regexp_count(text, F.lit(" "))
+    stops = F.regexp_count(text, F.lit(r"\b(the|a|of|and|to)\b"))
+    toks = F.regexp_count(F.trim(text), F.lit(r"\S+"))
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.round(alpha / F.length(text), 4).alias("alpha_ratio"),
@@ -774,10 +775,11 @@ def q_quality_score_sql():
 
 
 def q_lang_id(spark, sf_dir):
+    # r6: regexp_count (see q_quality_score)
     text = F.col("text")
-    s_en = F.size(F.regexp_extract_all(text, F.lit(r"\b(the|and|of|scan)\b"), F.lit(0)))
-    s_de = F.size(F.regexp_extract_all(text, F.lit(r"\b(der|die|das|und)\b"), F.lit(0)))
-    s_es = F.size(F.regexp_extract_all(text, F.lit(r"\b(el|la|los|y)\b"), F.lit(0)))
+    s_en = F.regexp_count(text, F.lit(r"\b(the|and|of|scan)\b"))
+    s_de = F.regexp_count(text, F.lit(r"\b(der|die|das|und)\b"))
+    s_es = F.regexp_count(text, F.lit(r"\b(el|la|los|y)\b"))
     pred = (
         F.when((s_en >= s_de) & (s_en >= s_es), F.lit("en"))
         .when(s_de >= s_es, F.lit("de"))
@@ -3672,9 +3674,15 @@ def q_sitemap_urls(spark, sf_dir, k: int = 4):
     )
     paired = vals.select(
         "doc_id",
+        # if(size=0) guard (r6 advisor fix): an empty XPath result (a
+        # parse failure on non-synthetic input) would otherwise make
+        # sequence(0, -1) yield [0, -1] and v[0] throw under ANSI mode,
+        # failing the whole query instead of skipping the doc
         F.expr(
+            "if(size(v) = 0, "
+            "cast(array() as array<struct<loc:string,lastmod:string>>), "
             "transform(sequence(0, cast(size(v)/2 as int) - 1), "
-            "i -> struct(v[2*i] as loc, v[2*i+1] as lastmod))"
+            "i -> struct(v[2*i] as loc, v[2*i+1] as lastmod)))"
         ).alias("entries"),
     )
     return paired.select(

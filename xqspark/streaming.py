@@ -15,8 +15,12 @@ state is evicted at scale.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("xqspark")
 
 from .pipeline import PAGES_SCHEMA, extract_pages, with_host_salt, with_part_key
 
@@ -227,12 +231,24 @@ def dedup_stream(
             def close(self) -> None:
                 pass
 
-        # transformWithState runs on the RocksDB state store only
-        pages.sparkSession.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
+        # transformWithState runs on the RocksDB state store only.
+        # SESSION-WIDE side effect (r6 advisor note): this changes the
+        # state store provider for every OTHER streaming query started
+        # on the same session afterwards. Only set it when the caller
+        # has not already configured a provider, so an explicit choice
+        # is never silently overridden; callers running mixed streaming
+        # workloads should set the provider themselves per query.
+        conf = pages.sparkSession.conf
+        if conf.get("spark.sql.streaming.stateStore.providerClass", None) is None:
+            _LOG.info(
+                "dedup_stream(tws): setting session state store provider"
+                " to RocksDB (required by transformWithState)"
+            )
+            conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
         return keyed.groupBy("host").transformWithStateInPandas(
             _BloomDedup(),
             outputStructType=_OUT_SCHEMA_DDL,
@@ -395,9 +411,21 @@ def compact_band_store(spark: SparkSession, store_dir: str) -> int:
     all_bands.coalesce(max(1, len(parts) // 8)).write.mode(
         "overwrite"
     ).parquet(tmp)
+    # Crash-safe swap order (r6): replace ONLY the max partition with
+    # the compacted superset FIRST, then delete the rest. A crash after
+    # the replace leaves duplicate band rows across partitions, which
+    # the left_semi membership check is insensitive to; the old order
+    # (delete everything, then rename) had a window where the ENTIRE
+    # store was gone and ingestion would silently stop deduplicating.
+    # The only remaining window is the two adjacent syscalls around the
+    # max partition itself (os.replace cannot atomically swap a
+    # non-empty directory).
+    target = f"{bands_dir}/ingest_batch={max_id}"
+    shutil.rmtree(target, ignore_errors=True)
+    os.replace(tmp, target)
     for p in parts:
-        shutil.rmtree(f"{bands_dir}/{p}", ignore_errors=True)
-    os.replace(tmp, f"{bands_dir}/ingest_batch={max_id}")
+        if p != f"ingest_batch={max_id}":
+            shutil.rmtree(f"{bands_dir}/{p}", ignore_errors=True)
     return len(parts) - 1
 
 
