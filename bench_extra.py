@@ -21,9 +21,63 @@ import statistics
 import time
 
 
+def warc_bench(spark, cpus: int, n_files: int = 32, pages_per_file: int = 1500,
+               repeats: int = 3) -> dict:
+    """VERDICT r5 #7: the WARC crawl-source path timed end to end —
+    synthesize a multi-member .warc.gz corpus (Common Crawl layout: one
+    gzip member per record), then read_warc -> extract_pages. Not in
+    the frozen bench.py headline; cite from OPTIMIZATION_r06.md."""
+    import gzip
+    import shutil
+    import statistics
+    import tempfile
+
+    from xqspark.core.warc import build_warc
+    from xqspark.pipeline import extract_pages, read_warc
+
+    d = tempfile.mkdtemp(prefix="warc_bench_")
+    try:
+        n_docs = 0
+        for f in range(n_files):
+            members = []
+            for i in range(pages_per_file):
+                body = (
+                    f"<html><head><title>W{f}-{i}</title></head><body>"
+                    + "<p>tok " * 40 + "</p></body></html>"
+                ).encode()
+                members.append(gzip.compress(build_warc([(
+                    f"http://h{i % 97}.example/f{f}/p{i}",
+                    f"2026-08-17T0{i % 10}:00:00Z",
+                    body,
+                )])))
+                n_docs += 1
+            with open(f"{d}/part-{f:04d}.warc.gz", "wb") as fh:
+                fh.write(b"".join(members))
+        runs = []
+        for i in range(repeats):
+            spark.sparkContext.setJobDescription(f"warc_extract run {i}")
+            t0 = time.perf_counter()
+            pages = read_warc(spark, d)
+            extract_pages(
+                pages, mode="xpath-single", query="//title", n_buckets=64
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+        med = statistics.median(runs)
+        return {
+            "warc_files": n_files,
+            "warc_docs": n_docs,
+            "warc_extract_seconds": round(med, 3),
+            "warc_docs_per_sec": round(n_docs / med, 1),
+            "spread": round((max(runs) - min(runs)) / med, 3),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--queries", required=True, help="comma-separated query names, or 'headline'")
+    ap.add_argument("--queries", required=True, help="comma-separated query names, 'headline', or 'warc'")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--explain-dir", default=None, help="dump .explain('formatted') per query")
     ap.add_argument("--suffix", default="after", help="plan filename suffix (before/after)")
@@ -40,6 +94,12 @@ def main() -> None:
 
     spark = build_session(cpus=cpus, app="xq-bench-extra")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.queries == "warc":
+        try:
+            print(json.dumps(warc_bench(spark, cpus, repeats=args.repeats)))
+        finally:
+            spark.stop()
+        return
     sc = spark.sparkContext
     out: dict[str, object] = {"sf": sf_dir, "cpus": cpus, "repeats": args.repeats}
     timings: dict[str, float] = {}
