@@ -3690,9 +3690,17 @@ def q_sitemap_urls(spark, sf_dir, k: int = 4):
             "i -> struct(v[2*i] as loc, v[2*i+1] as lastmod)))"
         ).alias("entries"),
     )
+    # posexplode_OUTER + isNotNull (r6 — the link_graph/winnow_pairs
+    # disease found here too): plain posexplode lets Catalyst infer
+    # size(entries) > 0 and push it below the spread exchange, where
+    # the inferred filter RE-EVALUATES the whole XML-build + XPath UDF
+    # on the serial scan (plan showed two ArrowEvalPython nodes;
+    # measured 10.5 -> 1.3 s at 10x sf0.1). entries is only empty if
+    # the parse-failure guard fired, and those rows are dropped by the
+    # null filter on both engines.
     return paired.select(
-        "doc_id", F.posexplode("entries").alias("rank", "e")
-    ).select(
+        "doc_id", F.posexplode_outer("entries").alias("rank", "e")
+    ).filter(F.col("e").isNotNull()).select(
         "doc_id",
         F.col("rank").cast("int").alias("rank"),
         F.col("e.loc").alias("loc"),
