@@ -3423,12 +3423,17 @@ def _connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
         # large-star: strictly larger neighbors re-point to the min
         nbrs = _sym(edges)
         mins = star_mins(nbrs)
+        # No mid-round distinct (r6): the small-star phase ends with
+        # its own distinct, which bounds the edge set identically; the
+        # large-star duplicates it would have removed are cheaper to
+        # carry through one half-round than the extra Exchange cost
+        # (measured 4.5 -> 4.05 s at 10x sf0.1, identical output set —
+        # min() and the membership checks are duplicate-insensitive).
         edges = (
             nbrs.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: orient edges (hi -> lo), everyone points to the min
         dn = edges.select(
